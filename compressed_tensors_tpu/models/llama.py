@@ -1,0 +1,331 @@
+"""Functional JAX Llama-family model consuming compressed-tensors
+checkpoints run-compressed.
+
+There is no counterpart in the reference (it has no model definitions — it
+delegates execution to transformers/vLLM); this is the engine side demanded
+by BASELINE.json. Every linear is a `QuantizedTensor` and calls
+`quantized_matmul`, so weights stay compressed in HBM.
+
+KV-cache quantization consumes the reference's serialized `k_scale`/`v_scale`
+attention parameters (ref modeling/kvcache.py:29-86, quant_metadata.py:13-16);
+quantization happens post-RoPE, matching the reference hook placement
+(ref modeling/attention.py:65).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compressed_tensors_tpu.models.config import LlamaConfig
+from compressed_tensors_tpu.ops.linear import (
+    QuantizedTensor,
+    from_compressed_state,
+    materialize_weight,
+    quantized_matmul,
+)
+
+__all__ = [
+    "LlamaConfig",
+    "llama_forward",
+    "init_kv_cache",
+    "load_llama_params",
+    "KVCache",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Dense KV cache. When k_scale/v_scale are present the cache stores
+    fp8/int8 values + per-layer scales (cache bytes halve), dequantized
+    inside attention."""
+
+    k: jnp.ndarray  # (layers, B, S_max, kv_heads, head_dim) cache dtype
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32: valid prefix length
+
+
+def init_kv_cache(
+    config: LlamaConfig,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    cache_dtype=None,
+) -> KVCache:
+    shape = (config.num_hidden_layers, batch, max_len,
+             config.num_key_value_heads, config.head_dim)
+    cd = cache_dtype or dtype
+    return KVCache(
+        k=jnp.zeros(shape, dtype=cd),
+        v=jnp.zeros(shape, dtype=cd),
+        length=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def _rope(positions: jnp.ndarray, head_dim: int, theta: float):
+    """Rotary embeddings (half-rotation layout, HF llama convention)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (B, S, hd/2)
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    return cos, sin
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    # x: (B, S, H, D); cos/sin: (B, S, D/2)
+    d = x.shape[-1] // 2
+    x1, x2 = x[..., :d], x[..., d:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def _quantize_to_cache(x, scale, cache_dtype):
+    """Quantize post-RoPE K/V into the cache representation using the
+    serialized k_scale/v_scale (per-tensor fp8/int8)."""
+    if scale is None or cache_dtype == x.dtype:
+        return x.astype(cache_dtype)
+    s = scale.reshape(()).astype(jnp.float32)
+    scaled = x.astype(jnp.float32) / s
+    if str(cache_dtype).startswith("float8"):
+        return scaled.astype(cache_dtype)
+    # int8 cache
+    return jnp.clip(jnp.round(scaled), -128, 127).astype(cache_dtype)
+
+
+def _dequantize_from_cache(x, scale, dtype):
+    if scale is None or x.dtype == dtype:
+        return x.astype(dtype)
+    s = scale.reshape(()).astype(jnp.float32)
+    return (x.astype(jnp.float32) * s).astype(dtype)
+
+
+def _attention(
+    layer: dict,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_k: jnp.ndarray,
+    kv_v: jnp.ndarray,
+    cache_len: jnp.ndarray,
+    config: LlamaConfig,
+    causal_offset: jnp.ndarray,
+):
+    B, S, _ = x.shape
+    H = config.num_attention_heads
+    KVH = config.num_key_value_heads
+    D = config.head_dim
+
+    q = quantized_matmul(x, layer["q_proj"]).reshape(B, S, H, D)
+    k = quantized_matmul(x, layer["k_proj"]).reshape(B, S, KVH, D)
+    v = quantized_matmul(x, layer["v_proj"]).reshape(B, S, KVH, D)
+
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    k_scale = layer.get("k_scale")
+    v_scale = layer.get("v_scale")
+    cache_dtype = kv_k.dtype
+
+    # write new K/V into cache at [cache_len, cache_len + S)
+    k_c = _quantize_to_cache(k, k_scale, cache_dtype)
+    v_c = _quantize_to_cache(v, v_scale, cache_dtype)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k_c, (0, cache_len, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v_c, (0, cache_len, 0, 0))
+
+    keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)
+    values = _dequantize_from_cache(kv_v, v_scale, x.dtype)
+
+    # grouped-query attention: repeat kv heads
+    if H != KVH:
+        rep = H // KVH
+        keys = jnp.repeat(keys, rep, axis=2)
+        values = jnp.repeat(values, rep, axis=2)
+
+    # (B, H, S, D) x (B, H, T, D) -> (B, H, S, T)
+    qh = q.transpose(0, 2, 1, 3)
+    kh = keys.transpose(0, 2, 1, 3)
+    vh = values.transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(D))
+
+    T = kh.shape[2]
+    q_pos = causal_offset[:, :, None]            # (B, S, 1)
+    k_pos = jnp.arange(T)[None, None, :]          # (1, 1, T)
+    mask = (k_pos <= q_pos) & (k_pos < cache_len + S)
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhst,bhtd->bhsd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
+
+
+def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    gate = quantized_matmul(x, layer["gate_proj"])
+    up = quantized_matmul(x, layer["up_proj"])
+    return quantized_matmul(jax.nn.silu(gate) * up, layer["down_proj"])
+
+
+def llama_forward(
+    params: dict,
+    config: LlamaConfig,
+    input_ids: jnp.ndarray,      # (B, S)
+    positions: jnp.ndarray,      # (B, S)
+    kv_cache: Optional[KVCache] = None,
+):
+    """Full forward pass. Returns (logits, updated kv cache)."""
+    embed = params["embed_tokens"]
+    if isinstance(embed, QuantizedTensor):
+        embed_w = materialize_weight(embed)
+    else:
+        embed_w = embed
+    x = jnp.take(embed_w, input_ids, axis=0)
+
+    B, S = input_ids.shape
+    cos, sin = _rope(positions, config.head_dim, config.rope_theta)
+
+    if kv_cache is None:
+        kv_cache = init_kv_cache(config, B, S, dtype=x.dtype)
+    cache_len = kv_cache.length
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
+        attn_out, k_i, v_i = _attention(
+            layer, h, cos, sin, kv_cache.k[i], kv_cache.v[i], cache_len,
+            config, positions,
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
+        x = x + _mlp(layer, h)
+        new_k.append(k_i)
+        new_v.append(v_i)
+
+    x = rms_norm(x, params["norm"], config.rms_norm_eps)
+
+    lm_head = params["lm_head"]
+    if isinstance(lm_head, QuantizedTensor):
+        logits = quantized_matmul(x, lm_head)
+    else:
+        logits = jax.lax.dot_general(
+            x, lm_head,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    kv_cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache_len + S
+    )
+    return logits, kv_cache
+
+
+# --------------------------------------------------------------------------- #
+# parameter loading
+
+def load_llama_params(
+    path: str,
+    run_compressed: bool = True,
+    dtype=jnp.bfloat16,
+    device_put=None,
+) -> tuple[dict, LlamaConfig, Any]:
+    """Load a compressed-tensors Llama checkpoint into a params pytree.
+
+    :param run_compressed: keep weights compressed (the TPU default)
+    :param device_put: optional callable(tensor, module_name, param_name)
+        placing arrays (used for sharded multi-chip loading)
+    :return: (params, config, model_compressor)
+    """
+    from compressed_tensors_tpu.compressors import (
+        ModelCompressor,
+        module_graph_from_names,
+    )
+    from compressed_tensors_tpu.utils.safetensors_io import CheckpointReader
+
+    config = LlamaConfig.from_pretrained(path)
+    mc = ModelCompressor.from_pretrained(path)
+
+    reader = CheckpointReader(path)
+    module_names = reader.module_names()
+    modules = module_graph_from_names(module_names)
+    schemes = mc.resolve_schemes(modules) if mc is not None else {}
+
+    def _put(arr, mod, name):
+        a = jnp.asarray(np.asarray(arr))
+        if device_put is not None:
+            a = device_put(a, mod, name)
+        return a
+
+    def _get_qt(mod_name: str) -> QuantizedTensor | dict:
+        state = {
+            k: _put(v, mod_name, k)
+            for k, v in reader.module_state_dict(mod_name).items()
+        }
+        scheme = schemes.get(mod_name)
+        if not run_compressed and mc is not None:
+            state = mc.decompress_state({mod_name: state}, modules)[mod_name]
+        qt = from_compressed_state(state, scheme)
+        # cast float weights to engine dtype
+        if qt.weight is not None and np.dtype(qt.weight.dtype).kind == "f" and \
+                not str(qt.weight.dtype).startswith("float8"):
+            qt = dataclasses.replace(qt, weight=qt.weight.astype(dtype))
+        return qt
+
+    params: dict = {"layers": []}
+    embed_qt = _get_qt("model.embed_tokens")
+    params["embed_tokens"] = materialize_weight(embed_qt, dtype=dtype)
+
+    for i in range(config.num_hidden_layers):
+        prefix = f"model.layers.{i}"
+        layer: dict = {}
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}")
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            layer[proj] = _get_qt(f"{prefix}.mlp.{proj}")
+        # norms are plain tensors (module_state_dict returns {"weight": ...})
+        layer["input_layernorm"] = _put(
+            reader.get(f"{prefix}.input_layernorm.weight"), prefix, "ln"
+        ).astype(dtype)
+        layer["post_attention_layernorm"] = _put(
+            reader.get(f"{prefix}.post_attention_layernorm.weight"), prefix,
+            "ln",
+        ).astype(dtype)
+        # KV-cache scales if serialized (k_scale/v_scale on attention module)
+        attn_state = reader.module_state_dict(f"{prefix}.self_attn")
+        for sname in ("k_scale", "v_scale", "q_scale"):
+            if sname in attn_state:
+                layer[sname] = _put(attn_state[sname], prefix, sname)
+        params["layers"].append(layer)
+
+    params["norm"] = _put(reader.get("model.norm.weight"), "model.norm",
+                          "weight").astype(dtype)
+
+    if "lm_head" in module_names:
+        params["lm_head"] = _get_qt("lm_head")
+    else:
+        # tied embeddings: logits = x @ embed^T, same (V, H) layout
+        params["lm_head"] = params["embed_tokens"]
+
+    reader.close()
+    return params, config, mc

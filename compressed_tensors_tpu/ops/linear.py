@@ -1,0 +1,323 @@
+"""Quantized linear algebra: the engine-side weight representation and the
+matmul path for every compression format.
+
+This is the seam where the reference delegates to vLLM kernels
+(`linear/compressed_linear.py:15-21` is a deprecated stub; decompress-on-load
+is its default). Here run-compressed is the default execution mode: weights
+stay in their compressed representation in HBM and are dequantized inside
+the matmul (Pallas kernels in `ops/kernels/`, jnp fallback here).
+
+`QuantizedTensor` is a pytree: array leaves + static metadata, so model
+forwards jit cleanly with per-layer kernel specialization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compressed_tensors_tpu.config import CompressionFormat
+from compressed_tensors_tpu.ops.fp4_pack import unpack_fp4_from_uint8
+from compressed_tensors_tpu.ops.mx import decompress_mx_scale
+from compressed_tensors_tpu.ops.pack import unpack_from_int32
+from compressed_tensors_tpu.ops.qparams import compute_dynamic_scales_and_zp
+from compressed_tensors_tpu.ops.quantize import dequantize, quantize
+from compressed_tensors_tpu.quantization import (
+    QuantizationScheme,
+    QuantizationStrategy,
+)
+
+__all__ = ["QuantizedTensor", "quantized_matmul", "from_compressed_state"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedTensor:
+    """A weight in compressed form + everything needed to use it in a matmul.
+
+    Array fields are pytree leaves; `format`, `shape` and `scheme` are static
+    (hashable) metadata so jit specializes per layer scheme.
+    """
+
+    # array leaves (any may be None)
+    weight: Optional[jnp.ndarray] = None          # dense/naive repr
+    weight_packed: Optional[jnp.ndarray] = None   # int32 or uint8 packed repr
+    scale: Optional[jnp.ndarray] = None
+    zero_point: Optional[jnp.ndarray] = None
+    g_idx: Optional[jnp.ndarray] = None
+    global_scale: Optional[jnp.ndarray] = None
+    input_global_scale: Optional[jnp.ndarray] = None
+    bias: Optional[jnp.ndarray] = None
+    # sparse leaves
+    sparse_values: Optional[jnp.ndarray] = None
+    sparse_bitmask: Optional[jnp.ndarray] = None
+
+    # static metadata
+    format: str = dataclasses.field(
+        default=CompressionFormat.dense.value,
+        metadata=dict(static=True),
+    )
+    shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    scheme: Any = dataclasses.field(default=None, metadata=dict(static=True))
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+
+def _scheme_key(scheme: QuantizationScheme | None) -> str:
+    # QuantizationScheme is pydantic (unhashable by default); use its json
+    return scheme.model_dump_json() if scheme is not None else ""
+
+
+def from_compressed_state(
+    state: dict[str, jnp.ndarray],
+    scheme: QuantizationScheme | None,
+    format: str | CompressionFormat | None = None,
+) -> QuantizedTensor:
+    """Build a QuantizedTensor from a per-module compressed state dict as
+    loaded from a checkpoint."""
+    fmt = format or (scheme.format if scheme is not None else None)
+    fmt = CompressionFormat(fmt).value if fmt is not None else None
+
+    # sparse-stacked states keep their sparse leaves alongside
+    sparse_values = state.get("weight.compressed")
+    sparse_bitmask = state.get("weight.bitmask")
+    sparse_shape = state.get("weight.shape")
+
+    weight = state.get("weight")
+    weight_packed = state.get("weight_packed")
+
+    if "weight_shape" in state:
+        shape = tuple(int(v) for v in np.asarray(state["weight_shape"]))
+    elif sparse_shape is not None:
+        shape = tuple(int(v) for v in np.asarray(sparse_shape))
+    elif weight is not None:
+        shape = tuple(weight.shape)
+    elif weight_packed is not None and fmt in (
+        CompressionFormat.nvfp4_pack_quantized.value,
+        CompressionFormat.mxfp4_pack_quantized.value,
+    ):
+        shape = (weight_packed.shape[0], weight_packed.shape[1] * 2)
+    elif weight_packed is not None:
+        shape = tuple(weight_packed.shape)
+    else:
+        shape = ()
+
+    if fmt is None:
+        if weight_packed is not None:
+            fmt = (
+                CompressionFormat.pack_quantized.value
+                if weight_packed.dtype == jnp.int32
+                else CompressionFormat.nvfp4_pack_quantized.value
+            )
+        elif weight is not None and (
+            np.dtype(weight.dtype).kind in "iu"
+            or str(weight.dtype).startswith("float8")
+        ):
+            fmt = CompressionFormat.naive_quantized.value
+        else:
+            fmt = CompressionFormat.dense.value
+
+    return QuantizedTensor(
+        weight=weight,
+        weight_packed=weight_packed,
+        scale=state.get("weight_scale"),
+        zero_point=state.get("weight_zero_point"),
+        g_idx=state.get("weight_g_idx"),
+        global_scale=state.get("weight_global_scale"),
+        input_global_scale=state.get("input_global_scale"),
+        bias=state.get("bias"),
+        sparse_values=sparse_values,
+        sparse_bitmask=sparse_bitmask,
+        format=fmt,
+        shape=shape,
+        scheme=scheme,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dense weight materialization (jnp fallback path)
+
+def materialize_weight(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantize the compressed representation to a dense (N, K) weight.
+
+    This is the XLA-fallback path; the Pallas kernels avoid ever writing the
+    dense weight to HBM.
+    """
+    from compressed_tensors_tpu.ops.bitmask import sparse24_decompress
+
+    fmt = qt.format
+    weights_args = qt.scheme.weights if qt.scheme is not None else None
+
+    # sparse layer: scatter values back to dense first
+    if qt.sparse_values is not None:
+        dense_q = sparse24_decompress(qt.sparse_values, qt.sparse_bitmask,
+                                      qt.shape)
+        if weights_args is not None and (
+            np.dtype(dense_q.dtype).kind in "iu"
+            or str(dense_q.dtype).startswith("float8")
+        ):
+            w = dequantize(dense_q, qt.scale, qt.zero_point, weights_args,
+                           g_idx=qt.g_idx, dtype=dtype)
+        else:
+            w = dense_q.astype(dtype)
+        return w
+
+    if fmt == CompressionFormat.dense.value or (
+        qt.weight is not None
+        and np.dtype(qt.weight.dtype).kind == "f"
+        and not str(qt.weight.dtype).startswith("float8")
+    ) or (qt.weight is not None and qt.weight.dtype == jnp.bfloat16):
+        return qt.weight.astype(dtype)
+
+    if fmt == CompressionFormat.pack_quantized.value:
+        num_bits = weights_args.num_bits
+        unpacked = unpack_from_int32(qt.weight_packed, num_bits, qt.shape)
+        zero_point = qt.zero_point
+        if zero_point is not None and zero_point.dtype == jnp.int32:
+            zp_shape = (*qt.shape[:-1], qt.scale.shape[-1])
+            zero_point = unpack_from_int32(zero_point, num_bits, zp_shape,
+                                           packed_dim=0)
+        return dequantize(unpacked, qt.scale, zero_point, weights_args,
+                          g_idx=qt.g_idx, dtype=dtype)
+
+    if fmt in (
+        CompressionFormat.nvfp4_pack_quantized.value,
+        CompressionFormat.mxfp4_pack_quantized.value,
+    ):
+        m, half_n = qt.weight_packed.shape
+        values = unpack_fp4_from_uint8(qt.weight_packed, m, half_n * 2,
+                                       dtype=dtype)
+        scale = qt.scale
+        if scale.dtype == jnp.uint8:  # MX E8M0
+            scale = decompress_mx_scale(scale).astype(dtype)
+        else:
+            scale = scale.astype(dtype)
+        return dequantize(values, scale, None, weights_args,
+                          global_scale=qt.global_scale, dtype=dtype)
+
+    if fmt in (
+        CompressionFormat.naive_quantized.value,
+        CompressionFormat.int_quantized.value,
+        CompressionFormat.float_quantized.value,
+        CompressionFormat.mxfp8_quantized.value,
+    ):
+        scale = qt.scale
+        if scale is not None and scale.dtype == jnp.uint8:  # MXFP8 E8M0
+            scale = decompress_mx_scale(scale).astype(dtype)
+        return dequantize(qt.weight, scale, qt.zero_point, weights_args,
+                          g_idx=qt.g_idx, dtype=dtype)
+
+    raise NotImplementedError(f"materialize_weight for format {fmt}")
+
+
+# --------------------------------------------------------------------------- #
+# matmul dispatch
+
+def _int8_dynamic_matmul(x, qt: QuantizedTensor, input_args):
+    """W8A8-int path: dynamic per-token act quant + int8 MXU matmul +
+    rescale. Weight scale is per-channel (N, 1) or per-tensor."""
+    x_scale, _ = compute_dynamic_scales_and_zp(x, input_args)
+    x_q = quantize(x, x_scale, None, input_args, dtype=jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, qt.weight,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    w_scale = qt.scale.reshape(-1).astype(jnp.float32)  # (N,)
+    out = acc.astype(jnp.float32) * x_scale.astype(jnp.float32) * w_scale
+    return out.astype(x.dtype)
+
+
+def _fp8_matmul(x, qt: QuantizedTensor, input_args):
+    """FP8 W8A8 path: act quant to fp8 (static or dynamic scale), fp8 MXU
+    matmul with fp32 accumulation + rescale."""
+    if input_args is not None and input_args.dynamic is True:
+        x_scale, _ = compute_dynamic_scales_and_zp(x, input_args)
+    else:
+        x_scale = None
+
+    w = qt.weight
+    w_scale = qt.scale.astype(jnp.float32)
+    if x_scale is not None:
+        x_q = quantize(x, x_scale, None, input_args,
+                       dtype=w.dtype)
+        acc = jax.lax.dot_general(
+            x_q, w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = acc * x_scale.astype(jnp.float32) * w_scale.reshape(-1)
+        return out.astype(x.dtype)
+    # weight-only fp8: dequantize into matmul
+    w_dense = dequantize(w, qt.scale, None, qt.scheme.weights,
+                         dtype=x.dtype)
+    return jax.lax.dot_general(
+        x, w_dense,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+    """y = x @ W^T (+ bias) with W in compressed form.
+
+    Dispatches per format/scheme:
+    - W8A8-int (channel weights + dynamic token acts): int8 MXU matmul
+    - FP8 W8A8: fp8 MXU matmul
+    - packed/fp4/dense and everything else: dequant (fused by XLA or Pallas)
+      then bf16 matmul
+    """
+    scheme = qt.scheme
+    input_args = scheme.input_activations if scheme is not None else None
+    weights_args = scheme.weights if scheme is not None else None
+
+    use_int8_path = (
+        qt.weight is not None
+        and qt.weight.dtype == jnp.int8
+        and qt.sparse_values is None
+        and input_args is not None
+        and input_args.dynamic is True
+        and input_args.type == "int"
+        and input_args.num_bits == 8
+        and weights_args is not None
+        and weights_args.strategy
+        in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
+    )
+    use_fp8_path = (
+        qt.weight is not None
+        and str(qt.weight.dtype).startswith("float8")
+        and qt.sparse_values is None
+        and input_args is not None
+        and input_args.num_bits == 8
+        and input_args.type == "float"
+        and weights_args is not None
+        and weights_args.strategy
+        in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
+    )
+
+    if use_int8_path:
+        out = _int8_dynamic_matmul(x, qt, input_args)
+    elif use_fp8_path:
+        out = _fp8_matmul(x, qt, input_args)
+    else:
+        w = materialize_weight(qt, dtype=x.dtype)
+        out = jax.lax.dot_general(
+            x, w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    if qt.bias is not None:
+        out = out + qt.bias.astype(out.dtype)
+    return out

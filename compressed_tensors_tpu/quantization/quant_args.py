@@ -329,6 +329,11 @@ class QuantizationArgs(BaseModel, use_enum_values=True):
         model.zp_dtype = zp_dtype
         return model
 
+    def __hash__(self):
+        # value-based hash so schemes can serve as static jit metadata
+        # (QuantizedTensor pytrees specialize kernels per scheme)
+        return hash(self.model_dump_json())
+
     def storage_dtype(self) -> np.dtype:
         """Closest storage dtype for the quantized representation.
 

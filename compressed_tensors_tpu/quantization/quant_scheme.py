@@ -91,6 +91,10 @@ class QuantizationScheme(BaseModel, use_enum_values=True):
 
         return model
 
+    def __hash__(self):
+        # value-based hash so schemes can serve as static jit metadata
+        return hash(self.model_dump_json())
+
     model_config = ConfigDict(extra="forbid")
 
 

@@ -85,7 +85,11 @@ class SafetensorsFile:
 
     def close(self):
         if self._mmap is not None:
-            self._mmap.close()
+            try:
+                self._mmap.close()
+            except BufferError:
+                # zero-copy views still reference the mapping; let GC reclaim
+                pass
             self._mmap = None
 
 
