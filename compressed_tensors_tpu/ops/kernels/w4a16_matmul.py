@@ -1,0 +1,214 @@
+"""Fused W4A16 dequant+matmul Pallas kernel.
+
+Replaces the reference's delegate-to-vLLM seam (`linear/compressed_linear.py`)
+with a TPU-native kernel: 4-bit weights stay packed in HBM, are unpacked and
+dequantized in VMEM inside the matmul pipeline, and never materialize as
+bf16 in HBM.
+
+Key idea: K-tiles are sized TK = 8 * group_size, so nibble-plane j of each
+int32 word covers exactly quant group j of the tile. The dot then runs on
+the *raw offset-unsigned nibbles* and the affine dequant is applied after
+the dot as a rank-1 correction:
+
+    y_j = s_j * (x_j @ u_j) - s_j * (8 + zp_j) * sum(x_j)
+
+(u = q + 8 stored unsigned). Per weight element the VPU does only
+shift + mask + convert; scale/zero-point math touches (B, TN) tiles, which
+is negligible. This takes the kernel from arithmetic-bound to
+bandwidth-bound on the packed bytes.
+
+Weight layout (built once at load time from the checkpoint's
+`pack_quantized` int32 packing, ref compressors/pack_quantized/helpers.py):
+
+- ``wp_t``: int32 (K/8, N), K-major. Within each K-tile of size TK, word
+  row i holds nibbles of k-positions ``tile_start + j*TK/8 + i`` at shift
+  ``4*j`` — so plane j is the contiguous k-range [j*TK/8, (j+1)*TK/8).
+- ``scales_t``/``zp_t``: re-tiled to (K_tiles * rpt, N) with 8-sublane
+  blocks per tile (see `retile_groups`).
+
+K is zero-padded to a multiple of TK at load time (padded groups get
+scale 0, so they contribute exactly 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "repack_w4_for_kernel",
+    "w4a16_matmul",
+    "choose_k_tile",
+    "retile_groups",
+    "rows_per_tile",
+    "padded_k",
+]
+
+PLANES = 8  # nibbles per int32
+
+
+def _interpret() -> bool:
+    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+def choose_k_tile(K: int, group_size: int) -> int:
+    """TK = 8 * group_size (one quant group per nibble plane)."""
+    return PLANES * group_size
+
+
+def padded_k(K: int, group_size: int) -> int:
+    tk = choose_k_tile(K, group_size)
+    return int(np.ceil(K / tk) * tk)
+
+
+def rows_per_tile(tk: int, group_size: int) -> int:
+    """Sublane rows per K-tile for the re-tiled scale/zp operands (8 planes,
+    already the sublane minimum)."""
+    return PLANES
+
+
+def retile_groups(scales_t: jnp.ndarray, k: int, tk: int,
+                  group_size: int) -> jnp.ndarray:
+    """(K/g, N) -> (K_tiles * 8, N): tile t's rows are its 8 group scales.
+    Expects K already padded to a multiple of tk (pad groups -> scale 0)."""
+    g_total, n = scales_t.shape
+    tiles = k // tk
+    assert g_total == tiles * PLANES, (g_total, tiles)
+    return scales_t
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits", "k", "tk"))
+def repack_w4_for_kernel(
+    unpacked_u: jnp.ndarray, num_bits: int, k: int, tk: int
+) -> jnp.ndarray:
+    """Offset-unsigned values (N, K) in [0, 15] -> kernel layout (K/8, N).
+    K must already be padded to a multiple of tk."""
+    assert num_bits == 4
+    n = unpacked_u.shape[0]
+    wpt = tk // PLANES
+    v = unpacked_u.T.astype(jnp.uint32).reshape(k // tk, PLANES, wpt, n)
+    shifts = (4 * jnp.arange(PLANES, dtype=jnp.uint32))[None, :, None, None]
+    words = jnp.sum(v << shifts, axis=1, dtype=jnp.uint32)  # (T, wpt, N)
+    return jax.lax.bitcast_convert_type(words, jnp.int32).reshape(k // 8, n)
+
+
+def _make_kernel(tk: int, group_size: int, has_zp: bool):
+    def kernel(x_ref, wp_ref, scale_ref, *rest):
+        if has_zp:
+            zp_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+        ki = pl.program_id(1)
+
+        @pl.when(ki == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        uw = jax.lax.bitcast_convert_type(wp_ref[:], jnp.uint32)  # (g, TN)
+        x = x_ref[:]  # (TB, TK)
+        compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+        acc = None
+        for j in range(PLANES):
+            u_j = (
+                ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF))
+                .astype(jnp.int32)
+                .astype(compute)
+            )
+            x_j = x[:, j * group_size : (j + 1) * group_size]  # (TB, g)
+            partial = jax.lax.dot_general(
+                x_j.astype(compute), u_j,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TB, TN)
+            s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
+            sum_xj = jnp.sum(
+                x_j.astype(jnp.float32), axis=1, keepdims=True
+            )  # (TB, 1)
+            if has_zp:
+                off_j = (rest[0][j, :].astype(jnp.float32) + 8.0) * s_j
+            else:
+                off_j = 8.0 * s_j
+            term = partial * s_j[None, :] - sum_xj * off_j[None, :]
+            acc = term if acc is None else acc + term
+
+        out_ref[:] += acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k", "group_size", "tk", "tn", "out_dtype"),
+)
+def w4a16_matmul(
+    x: jnp.ndarray,            # (B, K_orig) activations
+    wp_t: jnp.ndarray,         # (K_pad/8, N) kernel-layout packed weights
+    scales_t: jnp.ndarray,     # (K_tiles * 8, N)
+    zp_t: jnp.ndarray | None,  # (K_tiles * 8, N) int8 or None
+    n: int,
+    k: int,                    # K_pad
+    group_size: int,
+    tk: int,
+    tn: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """y = x @ W^T with W packed int4. Returns (B, N) in out_dtype."""
+    b, k_orig = x.shape
+    tb = max(8, int(np.ceil(b / 8) * 8))
+    if tb != b or k_orig != k:
+        x = jnp.pad(x, ((0, tb - b), (0, k - k_orig)))
+
+    tn = min(tn, int(np.ceil(n / 128) * 128))
+    n_pad = int(np.ceil(n / tn) * tn)
+    if n_pad != n:
+        wp_t = jnp.pad(wp_t, ((0, 0), (0, n_pad - n)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
+        if zp_t is not None:
+            zp_t = jnp.pad(zp_t, ((0, 0), (0, n_pad - n)))
+
+    grid = (n_pad // tn, k // tk)
+    wpt = tk // PLANES
+
+    in_specs = [
+        pl.BlockSpec((tb, tk), lambda ni, ki: (0, ki),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wpt, tn), lambda ni, ki: (ki, ni),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PLANES, tn), lambda ni, ki: (ki, ni),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, wp_t, scales_t]
+    if zp_t is not None:
+        in_specs.append(
+            pl.BlockSpec((PLANES, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(zp_t)
+
+    kernel = _make_kernel(tk, group_size, zp_t is not None)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, tn), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tb, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * n_pad * k,
+            bytes_accessed=n_pad * k // 2 + tb * k * 2 + tb * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+    return out[:b, :n].astype(out_dtype)

@@ -57,6 +57,12 @@ class QuantizedTensor:
     sparse_values: Optional[jnp.ndarray] = None
     sparse_bitmask: Optional[jnp.ndarray] = None
 
+    # engine-layout leaves for the fused Pallas kernels (built by
+    # prepare_for_kernels at load time; never serialized)
+    kernel_packed: Optional[jnp.ndarray] = None
+    kernel_scales: Optional[jnp.ndarray] = None
+    kernel_zp: Optional[jnp.ndarray] = None
+
     # static metadata
     format: str = dataclasses.field(
         default=CompressionFormat.dense.value,
@@ -64,6 +70,8 @@ class QuantizedTensor:
     )
     shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     scheme: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    kernel_meta: Any = dataclasses.field(default=None,
+                                         metadata=dict(static=True))
 
     @property
     def out_features(self) -> int:
@@ -222,6 +230,87 @@ def materialize_weight(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# fused-kernel preparation
+
+def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
+    """Repack a checkpoint-layout weight into the fused-kernel layout.
+
+    Currently covers W4A16 pack_quantized (group strategy, no actorder).
+    Layers the kernel cannot serve keep only the checkpoint representation
+    and fall back to the XLA dequant path.
+    """
+    from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+        choose_k_tile,
+        padded_k,
+        repack_w4_for_kernel,
+        retile_groups,
+    )
+
+    weights_args = qt.scheme.weights if qt.scheme is not None else None
+    if (
+        qt.format != CompressionFormat.pack_quantized.value
+        or weights_args is None
+        or weights_args.num_bits != 4
+        or weights_args.strategy
+        not in (QuantizationStrategy.GROUP.value,)
+        or qt.g_idx is not None
+        or len(qt.shape) != 2
+    ):
+        return qt
+
+    n, k = qt.shape
+    group_size = weights_args.group_size
+    tk = choose_k_tile(k, group_size)
+    k_pad = padded_k(k, group_size)
+    if k % group_size != 0:
+        return qt
+
+    unpacked = unpack_from_int32(qt.weight_packed, 4, qt.shape)  # int8
+    u = unpacked.astype(jnp.int32) + 8
+    if k_pad != k:
+        # padded k-positions: u=8 (q=0) and scale=0 -> contribute exactly 0
+        u = jnp.pad(u, ((0, 0), (0, k_pad - k)), constant_values=8)
+    kernel_packed = repack_w4_for_kernel(u, 4, k_pad, tk)
+
+    # kernel layout stores scales/zp K-major: (K_pad/g, N)
+    scales = qt.scale.astype(jnp.float32).T
+    g_pad = k_pad // group_size - scales.shape[0]
+    if g_pad:
+        scales = jnp.pad(scales, ((0, g_pad), (0, 0)))
+    scales = retile_groups(scales, k_pad, tk, group_size)
+
+    kernel_zp = None
+    if qt.zero_point is not None:
+        zp = qt.zero_point
+        if zp.dtype == jnp.int32:  # checkpoint packed_dim=0 packing
+            zp_shape = (n, qt.scale.shape[-1])
+            zp = unpack_from_int32(zp, 4, zp_shape, packed_dim=0)
+        zp_t = zp.astype(jnp.int8).T
+        if g_pad:
+            zp_t = jnp.pad(zp_t, ((0, g_pad), (0, 0)))
+        kernel_zp = retile_groups(zp_t, k_pad, tk, group_size)
+
+    return dataclasses.replace(
+        qt,
+        kernel_packed=kernel_packed,
+        kernel_scales=scales,
+        kernel_zp=kernel_zp,
+        kernel_meta=("w4a16", n, k, k_pad, group_size, tk),
+    )
+
+
+def _kernel_enabled() -> bool:
+    import os
+
+    if os.environ.get("CT_TPU_ENFORCE_EAGER", "") == "1":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1"
+    )
+
+
+# --------------------------------------------------------------------------- #
 # matmul dispatch
 
 def _int8_dynamic_matmul(x, qt: QuantizedTensor, input_args):
@@ -306,7 +395,17 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
         in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
     )
 
-    if use_int8_path:
+    if qt.kernel_packed is not None and _kernel_enabled():
+        from compressed_tensors_tpu.ops.kernels.w4a16_matmul import w4a16_matmul
+
+        kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, k)
+        out = w4a16_matmul(
+            x2d, qt.kernel_packed, qt.kernel_scales, qt.kernel_zp,
+            n=n, k=k_pad, group_size=group_size, tk=tk, out_dtype=x.dtype,
+        ).reshape(*lead, n)
+    elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)
     elif use_fp8_path:
         out = _fp8_matmul(x, qt, input_args)
