@@ -1,0 +1,406 @@
+"""Quantization lifecycle: apply config -> initialize qparams -> calibrate ->
+QDQ forward -> compress.
+
+Functional analogue of `quantization/lifecycle/{apply,initialize,forward,
+compressed}.py`. The reference mutates torch modules (registers Parameters,
+monkey-patches forwards); here a model is a module graph + per-module state
+dicts, and the lifecycle transforms those state dicts. The same shape rules,
+status transitions and forward semantics apply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import OrderedDict
+from typing import Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from compressed_tensors_tpu.ops.qparams import (
+    KV_CACHE_TARGETS,
+    calculate_qparams,
+    compute_dynamic_scales_and_zp,
+    strategy_cdiv,
+)
+from compressed_tensors_tpu.ops.quantize import fake_quantize
+from compressed_tensors_tpu.quantization.quant_args import (
+    ActivationOrdering,
+    DynamicType,
+    QuantizationArgs,
+    QuantizationStrategy,
+)
+from compressed_tensors_tpu.quantization.quant_config import (
+    QuantizationConfig,
+    QuantizationStatus,
+)
+from compressed_tensors_tpu.quantization.quant_scheme import QuantizationScheme
+from compressed_tensors_tpu.utils.match import (
+    ModuleInfo,
+    is_match,
+    match_named_modules,
+    match_targets,
+)
+
+__all__ = [
+    "ModuleQuantState",
+    "apply_quantization_config",
+    "initialize_qparam_shapes",
+    "initialize_module_for_quantization",
+    "calibrate_module",
+    "quantized_module_forward",
+    "compress_quantized_weights",
+    "expected_qparam_shapes",
+]
+
+
+@dataclasses.dataclass
+class ModuleQuantState:
+    """Quantization state attached to one module (the functional stand-in
+    for the attributes the reference registers on torch modules)."""
+
+    scheme: QuantizationScheme
+    status: QuantizationStatus = QuantizationStatus.INITIALIZED
+    qparams: dict = dataclasses.field(default_factory=dict)
+    enabled: bool = True
+
+
+def expected_qparam_shapes(
+    args: QuantizationArgs,
+    observed_shape: tuple[int, ...],
+) -> Optional[tuple[int, ...]]:
+    """Scale/zero-point shape for a given strategy and observed shape
+    (ref initialize.py:198-250). Returns None when fully dynamic."""
+    strategy = args.strategy
+    if args.dynamic is True:
+        return None
+    if args.dynamic == DynamicType.LOCAL.value or \
+            args.dynamic == DynamicType.LOCAL:
+        return None  # only global scale is static
+
+    if strategy == QuantizationStrategy.TENSOR.value:
+        return (1,)
+    if strategy == QuantizationStrategy.TOKEN.value:
+        raise ValueError("Cannot perform static token quantization")
+    if strategy == QuantizationStrategy.CHANNEL.value:
+        if len(observed_shape) < 2:
+            raise ValueError("Channel quant requires at least 2 observed "
+                             "dimensions")
+        return (observed_shape[-2], 1)
+    if strategy in (QuantizationStrategy.GROUP.value,
+                    QuantizationStrategy.TENSOR_GROUP.value):
+        assert args.group_size is not None
+        if len(observed_shape) < 1:
+            raise ValueError("Group quant requires at least 1 observed "
+                             "dimension")
+        num_groups = strategy_cdiv(observed_shape[-1], args.group_size,
+                                   strategy)
+        return (*observed_shape[:-1], num_groups)
+    if strategy == QuantizationStrategy.BLOCK.value:
+        assert args.block_structure is not None
+        if len(observed_shape) < 2:
+            raise ValueError("Block quant requires at least 2 observed "
+                             "dimensions")
+        bh, bw = args.block_structure
+        num_rows = math.ceil(observed_shape[-2] / bh)
+        num_cols = strategy_cdiv(observed_shape[-1], bw, strategy)
+        return (num_rows, num_cols)
+    if strategy == QuantizationStrategy.ATTN_HEAD.value:
+        if len(observed_shape) < 3:
+            raise ValueError("Attention quant requires at least 3 observed "
+                             "dimensions")
+        return (observed_shape[-3], 1, 1)
+    raise AssertionError(f"Unknown strategy {strategy}")
+
+
+def initialize_qparam_shapes(
+    base_name: str,
+    args: QuantizationArgs,
+    observed_shape: tuple[int, ...],
+    observed_dtype=jnp.bfloat16,
+    force_zero_point: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Initialize empty qparams for one (base_name, args) pair
+    (ref initialize.py:153-276). Returns {param_name: array}."""
+    out: dict[str, jnp.ndarray] = {}
+
+    # global scale for tensor-group quantization
+    if args.strategy == QuantizationStrategy.TENSOR_GROUP.value:
+        out[f"{base_name}_global_scale"] = jnp.zeros((1,), dtype=jnp.float32)
+
+    shape = expected_qparam_shapes(args, observed_shape)
+    if shape is None:
+        return out
+
+    scale_dtype = observed_dtype
+    if np.dtype(scale_dtype) not in (
+        np.dtype(np.float16), np.dtype(np.float32), np.dtype(np.float64),
+    ) and str(np.dtype(scale_dtype)) != "bfloat16":
+        scale_dtype = jnp.float16
+
+    out[f"{base_name}_scale"] = jnp.zeros(shape, dtype=scale_dtype)
+    if force_zero_point or not args.symmetric:
+        out[f"{base_name}_zero_point"] = jnp.zeros(
+            shape, dtype=jnp.dtype(np.dtype(args.zp_dtype))
+        )
+    if args.actorder is not None and args.actorder == ActivationOrdering.GROUP:
+        out[f"{base_name}_g_idx"] = jnp.full(
+            (observed_shape[-1],), -1, dtype=jnp.int32
+        )
+    return out
+
+
+def initialize_module_for_quantization(
+    scheme: QuantizationScheme,
+    weight_shape: tuple[int, ...],
+    weight_dtype=jnp.bfloat16,
+    force_zero_point: bool = True,
+    status: QuantizationStatus = QuantizationStatus.INITIALIZED,
+) -> ModuleQuantState:
+    """Create the quantization state for one module
+    (ref initialize.py:46-120)."""
+    state = ModuleQuantState(scheme=scheme, status=status)
+    if scheme.weights is not None:
+        state.qparams.update(
+            initialize_qparam_shapes("weight", scheme.weights, weight_shape,
+                                     weight_dtype, force_zero_point)
+        )
+    if scheme.input_activations is not None:
+        state.qparams.update(
+            initialize_qparam_shapes(
+                "input", scheme.input_activations, (weight_shape[-1],),
+                weight_dtype, force_zero_point,
+            )
+        )
+    if scheme.output_activations is not None:
+        state.qparams.update(
+            initialize_qparam_shapes(
+                "output", scheme.output_activations, (weight_shape[-2],),
+                weight_dtype, force_zero_point,
+            )
+        )
+    return state
+
+
+def apply_quantization_config(
+    modules: Mapping[str, ModuleInfo],
+    weight_shapes: Mapping[str, tuple[int, ...]],
+    config: QuantizationConfig | None,
+    kv_module_names: list[str] | None = None,
+) -> dict[str, ModuleQuantState]:
+    """Resolve schemes and initialize quantization state for every matched
+    module (ref apply.py:100-170).
+
+    :param modules: module graph (name -> ModuleInfo)
+    :param weight_shapes: name -> weight shape for weight-bearing modules
+    :param config: quantization config (None -> no-op)
+    :param kv_module_names: attention-module names for kv_cache_scheme
+    :return: name -> ModuleQuantState
+    """
+    if config is None:
+        return {}
+    config = config.model_copy(deep=True)
+
+    force_zero_point = (
+        config.quantization_status < QuantizationStatus.COMPRESSED
+    )
+
+    states: dict[str, ModuleQuantState] = {}
+
+    # kv cache scheme applies to attention modules first (ref apply.py:124)
+    if config.kv_cache_scheme is not None:
+        kv_scheme = QuantizationScheme(
+            targets=list(KV_CACHE_TARGETS),
+            input_activations=config.kv_cache_scheme,
+        )
+        names = kv_module_names
+        if names is None:
+            names = [
+                name for name, info in modules.items()
+                if is_match(name, info, KV_CACHE_TARGETS)
+            ]
+        for name in names:
+            state = ModuleQuantState(scheme=kv_scheme,
+                                     status=config.quantization_status)
+            # k_scale / v_scale per-tensor scales (ref quant_metadata.py)
+            state.qparams["k_scale"] = jnp.zeros((1,), dtype=jnp.float32)
+            state.qparams["v_scale"] = jnp.zeros((1,), dtype=jnp.float32)
+            states[name] = state
+
+    target_to_scheme: "OrderedDict[str, QuantizationScheme]" = OrderedDict()
+    for scheme in config.config_groups.values():
+        for target in scheme.targets:
+            target_to_scheme[target] = scheme
+
+    for name, info in match_named_modules(
+        modules, list(target_to_scheme), config.ignore, warn_on_fail=True
+    ):
+        if name not in weight_shapes:
+            continue
+        matched = match_targets(name, info, list(target_to_scheme))
+        scheme = target_to_scheme[matched[0]]
+        states[name] = initialize_module_for_quantization(
+            scheme,
+            weight_shapes[name],
+            force_zero_point=force_zero_point,
+            status=config.quantization_status,
+        )
+    return states
+
+
+# --------------------------------------------------------------------------- #
+# calibration (minmax observation)
+
+def _observe_minmax(value: jnp.ndarray, args: QuantizationArgs):
+    """Observed min/max reduced per strategy (weight observation shapes;
+    the spec the reference pins in tests/mock_observer.py)."""
+    strategy = args.strategy
+    if strategy == QuantizationStrategy.TENSOR.value:
+        return jnp.min(value), jnp.max(value)
+    if strategy == QuantizationStrategy.CHANNEL.value:
+        return (
+            jnp.min(value, axis=-1, keepdims=True),
+            jnp.max(value, axis=-1, keepdims=True),
+        )
+    if strategy in (QuantizationStrategy.GROUP.value,
+                    QuantizationStrategy.TENSOR_GROUP.value):
+        g = args.group_size
+        num_groups = math.ceil(value.shape[-1] / g)
+        v = value.reshape(*value.shape[:-1], num_groups, g)
+        return jnp.min(v, axis=-1), jnp.max(v, axis=-1)
+    if strategy == QuantizationStrategy.BLOCK.value:
+        bh, bw = args.block_structure
+        r, c = value.shape[-2:]
+        v = value.reshape(r // bh, bh, c // bw, bw)
+        return (
+            jnp.min(v, axis=(1, 3)),
+            jnp.max(v, axis=(1, 3)),
+        )
+    raise ValueError(f"Cannot observe strategy {strategy}")
+
+
+def calibrate_module(
+    state: ModuleQuantState,
+    weight: jnp.ndarray | None = None,
+    sample_input: jnp.ndarray | None = None,
+    sample_output: jnp.ndarray | None = None,
+) -> ModuleQuantState:
+    """Min-max calibration: fill static scales/zero-points from observed
+    tensors and advance to CALIBRATION status.
+
+    (The reference ships no observers — they live in llm-compressor and its
+    tests fake them; a standalone framework needs at least min-max.)
+    """
+    from compressed_tensors_tpu.ops.qparams import generate_gparam
+
+    scheme = state.scheme
+
+    def _calibrate(base: str, args: QuantizationArgs, value):
+        if value is None or args is None or args.dynamic is True:
+            return
+        mn, mx = _observe_minmax(value, args)
+        global_scale = None
+        if args.strategy == QuantizationStrategy.TENSOR_GROUP.value:
+            global_scale = generate_gparam(jnp.min(value), jnp.max(value))
+            state.qparams[f"{base}_global_scale"] = global_scale
+        if args.dynamic == DynamicType.LOCAL.value or \
+                args.dynamic == DynamicType.LOCAL:
+            return  # only the global scale is static
+        scale, zp = calculate_qparams(mn, mx, args, global_scale=global_scale)
+        state.qparams[f"{base}_scale"] = scale
+        if not args.symmetric or f"{base}_zero_point" in state.qparams:
+            state.qparams[f"{base}_zero_point"] = zp
+
+    _calibrate("weight", scheme.weights, weight)
+    if sample_input is not None:
+        _calibrate("input", scheme.input_activations, sample_input)
+    if sample_output is not None:
+        _calibrate("output", scheme.output_activations, sample_output)
+
+    state.status = QuantizationStatus.CALIBRATION
+    return state
+
+
+# --------------------------------------------------------------------------- #
+# QDQ forward
+
+def _forward_quantize(state: ModuleQuantState, value, base: str,
+                      args: QuantizationArgs):
+    """Fake-quantize a value using dynamic or static scales
+    (ref forward.py:292-329)."""
+    if value.size == 0:
+        return value
+    g_idx = state.qparams.get("weight_g_idx")
+    if g_idx is not None and bool(jnp.all(g_idx == -1)):
+        g_idx = None
+    global_scale = state.qparams.get(f"{base}_global_scale")
+
+    if args.dynamic is True or args.dynamic == DynamicType.LOCAL.value or \
+            args.dynamic == DynamicType.LOCAL:
+        scale, zero_point = compute_dynamic_scales_and_zp(
+            value, args, global_scale=global_scale
+        )
+    else:
+        scale = state.qparams[f"{base}_scale"]
+        zero_point = state.qparams.get(f"{base}_zero_point")
+
+    return fake_quantize(value, scale, zero_point, args, g_idx=g_idx,
+                         global_scale=global_scale)
+
+
+def quantized_module_forward(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    state: ModuleQuantState,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Linear forward with QDQ applied per the module's scheme
+    (ref set_forward_quantized, forward.py:244-289): quantize input ->
+    fake-quant weight (skipped when status >= COMPRESSED) -> matmul ->
+    quantize output. Disabled entirely when state.enabled is False."""
+    scheme = state.scheme
+    enabled = state.enabled and scheme is not None
+
+    if enabled and scheme.input_activations is not None:
+        x = _forward_quantize(state, x, "input", scheme.input_activations)
+
+    if enabled and scheme.weights is not None and \
+            state.status < QuantizationStatus.COMPRESSED:
+        weight = _forward_quantize(state, weight, "weight", scheme.weights)
+
+    out = x @ weight.T
+    if bias is not None:
+        out = out + bias
+
+    if enabled and scheme.output_activations is not None:
+        out = _forward_quantize(state, out, "output",
+                                scheme.output_activations)
+    return out
+
+
+def compress_quantized_weights(
+    state: ModuleQuantState, weight: jnp.ndarray
+) -> tuple[ModuleQuantState, jnp.ndarray]:
+    """Quantize the weight to its storage dtype in place of the float weight
+    and set COMPRESSED status (ref compressed.py:20-60)."""
+    from compressed_tensors_tpu.ops.quantize import quantize
+
+    args = state.scheme.weights
+    if args is None or args.dynamic:
+        return state, weight
+
+    g_idx = state.qparams.get("weight_g_idx")
+    if g_idx is not None and bool(jnp.all(g_idx == -1)):
+        g_idx = None
+    quantized = quantize(
+        weight,
+        state.qparams["weight_scale"],
+        state.qparams.get("weight_zero_point"),
+        args,
+        dtype=jnp.dtype(np.dtype(args.storage_dtype())),
+        g_idx=g_idx,
+        global_scale=state.qparams.get("weight_global_scale"),
+    )
+    state.status = QuantizationStatus.COMPRESSED
+    return state, quantized
