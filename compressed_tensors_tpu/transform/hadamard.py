@@ -1,0 +1,177 @@
+"""Hadamard / rotation matrix construction.
+
+The reference ships Sloane's library of known Hadamard matrices as a binary
+data file (`transform/utils/hadamard.py:91` + hadamards.safetensors); here
+the non-power-of-2 base matrices are *constructed* via the Paley I / Paley II
+constructions instead (no data file), then extended with Sylvester doubling.
+This covers the divisors LLM dims need (12, 20, 28, 36, 44, 60, ...).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "deterministic_hadamard_matrix",
+    "hadamard_matrix",
+    "random_hadamard_matrix",
+    "random_matrix",
+    "high_precision_invert",
+    "is_pow2",
+]
+
+
+def is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1) == 0)
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in range(2, int(math.isqrt(n)) + 1):
+        if n % p == 0:
+            return False
+    return True
+
+
+@lru_cache(maxsize=None)
+def _quadratic_residues(q: int) -> frozenset:
+    return frozenset((i * i) % q for i in range(1, q))
+
+
+def _legendre(a: int, q: int) -> int:
+    a %= q
+    if a == 0:
+        return 0
+    return 1 if a in _quadratic_residues(q) else -1
+
+
+def _jacobsthal(q: int) -> np.ndarray:
+    """Jacobsthal matrix Q[i, j] = legendre(i - j) over GF(q)."""
+    idx = np.arange(q)
+    diff = (idx[:, None] - idx[None, :]) % q
+    leg = np.array([_legendre(d, q) for d in range(q)], dtype=np.int8)
+    return leg[diff]
+
+
+def _paley_I(q: int) -> np.ndarray:
+    """Hadamard matrix of order q+1 for prime q = 3 (mod 4): H = I + S with
+    S the skew conference matrix built from the Jacobsthal matrix."""
+    Q = _jacobsthal(q)
+    n = q + 1
+    H = np.ones((n, n), dtype=np.int8)
+    H[1:, 1:] = Q + np.eye(q, dtype=np.int8)
+    H[1:, 0] = -1
+    return H
+
+
+def _paley_II_standard(q: int) -> np.ndarray:
+    """Standard Paley II: H = kron(S, [[1,1],[1,-1]]) + kron(I_m, [[1,-1],[-1,-1]])
+    for the (m x m) symmetric conference matrix S (zero diagonal)."""
+    Q = _jacobsthal(q)
+    m = q + 1
+    S = np.zeros((m, m), dtype=np.int8)
+    S[0, 1:] = 1
+    S[1:, 0] = 1
+    S[1:, 1:] = Q
+    H = np.kron(S, np.array([[1, 1], [1, -1]], dtype=np.int8)) + np.kron(
+        np.eye(m, dtype=np.int8), np.array([[1, -1], [-1, -1]], dtype=np.int8)
+    )
+    return H
+
+
+@lru_cache(maxsize=None)
+def _base_hadamard(k: int) -> np.ndarray | None:
+    """A Hadamard matrix of order k (not necessarily a power of 2), or None."""
+    if k == 1:
+        return np.array([[1]], dtype=np.int8)
+    if is_pow2(k):
+        return _sylvester(k)
+    if k % 4 != 0:
+        return None
+    # Paley I: k = q + 1, q prime, q = 3 mod 4
+    q = k - 1
+    if _is_prime(q) and q % 4 == 3:
+        return _paley_I(q)
+    # Paley II: k = 2(q + 1), q prime, q = 1 mod 4
+    if k % 2 == 0:
+        q = k // 2 - 1
+        if _is_prime(q) and q % 4 == 1:
+            return _paley_II_standard(q)
+    # doubling: k = 2 * k2 with k2 constructible
+    if k % 2 == 0:
+        half = _base_hadamard(k // 2)
+        if half is not None:
+            H2 = np.array([[1, 1], [1, -1]], dtype=np.int8)
+            return np.kron(H2, half)
+    return None
+
+
+@lru_cache(maxsize=None)
+def _sylvester(size: int) -> np.ndarray:
+    log2 = int(math.log2(size))
+    H = np.array([[1]], dtype=np.int8)
+    for _ in range(log2):
+        H = np.block([[H, H], [H, -H]])
+    return H
+
+
+def deterministic_hadamard_matrix(size: int, dtype=np.float64) -> np.ndarray:
+    """Sylvester construction; size must be a power of 2
+    (ref utils/hadamard.py:21-50)."""
+    if size <= 0:
+        raise ValueError("Cannot construct deterministic hadamard of size <= 0")
+    log2 = int(math.log2(size))
+    if size != 2**log2:
+        raise ValueError(
+            "Cannot construct deterministic hadamard of size != 2^n"
+        )
+    return _sylvester(size).astype(dtype)
+
+
+def hadamard_matrix(size: int, dtype=np.float64) -> np.ndarray:
+    """A Hadamard matrix of the given order: Sylvester for powers of 2,
+    otherwise kron(base, sylvester) with a Paley-constructed base divisor
+    (the role of the reference's hadamards.safetensors lookup)."""
+    if is_pow2(size):
+        return _sylvester(size).astype(dtype)
+    # find the largest base k such that size % k == 0 and size/k is pow2
+    best = None
+    for k in sorted(
+        (d for d in range(1, size + 1) if size % d == 0 and
+         is_pow2(size // d)),
+        reverse=True,
+    ):
+        base = _base_hadamard(k)
+        if base is not None:
+            best = (k, base)
+            break
+    if best is None:
+        raise ValueError(f"Cannot construct hadamard matrix of size {size}")
+    k, base = best
+    return np.kron(base, _sylvester(size // k)).astype(dtype)
+
+
+def random_hadamard_matrix(
+    size: int, seed: int = 0, dtype=np.float64
+) -> np.ndarray:
+    """Randomized Hadamard: H @ diag(+-1) (ref utils/hadamard.py:53-78)."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 2, size=size) * 2 - 1
+    H = hadamard_matrix(size, dtype=np.float64)
+    return (H * q[None, :]).astype(dtype)
+
+
+def random_matrix(size: int, seed: int = 0, dtype=np.float64) -> np.ndarray:
+    """Uniform random (invertible with prob. 1) matrix
+    (ref factory/matrix_multiply.py:52-60)."""
+    rng = np.random.default_rng(seed)
+    return rng.random((size, size)).astype(dtype)
+
+
+def high_precision_invert(weight: np.ndarray) -> np.ndarray:
+    """float64 inverse (ref factory/matrix_multiply.py:113-124)."""
+    return np.linalg.inv(weight.astype(np.float64)).astype(weight.dtype)

@@ -1,0 +1,200 @@
+"""Transform tests: Hadamard constructions, fused weight transforms
+(invariance of the computed function), online transform specs, config
+parsing (mirrors reference tests/test_transform/)."""
+
+import numpy as np
+import pytest
+
+from compressed_tensors_tpu.transform import (
+    TransformConfig,
+    apply_transform_config,
+    apply_transform_weight,
+    deterministic_hadamard_matrix,
+    get_transform_size,
+    hadamard_matrix,
+    high_precision_invert,
+    multihead_matmul,
+    random_hadamard_matrix,
+    random_matrix,
+)
+from compressed_tensors_tpu.utils.match import ModuleInfo
+
+LINEAR = ModuleInfo("Linear")
+
+
+@pytest.mark.parametrize("size", [1, 2, 4, 16, 256])
+def test_deterministic_hadamard(size):
+    H = deterministic_hadamard_matrix(size)
+    np.testing.assert_array_equal(H @ H.T, size * np.eye(size))
+    assert set(np.unique(H)) <= {-1.0, 1.0}
+
+
+def test_deterministic_hadamard_rejects_non_pow2():
+    with pytest.raises(ValueError):
+        deterministic_hadamard_matrix(12)
+    with pytest.raises(ValueError):
+        deterministic_hadamard_matrix(0)
+
+
+@pytest.mark.parametrize("size", [12, 20, 28, 36, 40, 44, 5632])
+def test_paley_hadamard_sizes(size):
+    """Non-power-of-2 sizes via Paley constructions (replacing the
+    reference's packaged Sloane matrices)."""
+    H = hadamard_matrix(size)
+    np.testing.assert_array_equal(H @ H.T, size * np.eye(size))
+
+
+def test_random_hadamard_is_hadamard():
+    H1 = random_hadamard_matrix(64, seed=1)
+    H2 = random_hadamard_matrix(64, seed=2)
+    np.testing.assert_array_equal(H1 @ H1.T, 64 * np.eye(64))
+    assert not np.array_equal(H1, H2)
+
+
+def test_random_matrix_invertible():
+    M = random_matrix(32, seed=0)
+    Mi = high_precision_invert(M)
+    np.testing.assert_allclose(M @ Mi, np.eye(32), atol=1e-10)
+
+
+def test_multihead_matmul_block_diagonal():
+    rng = np.random.default_rng(0)
+    A = rng.random((4, 8))
+    B = rng.random((2, 2))
+    # A @ blockdiag(B, B, B, B)
+    full = np.kron(np.eye(4), B)
+    np.testing.assert_allclose(multihead_matmul(A, B), A @ full)
+
+    A2 = rng.random((2, 2))
+    B2 = rng.random((8, 5))
+    full2 = np.kron(np.eye(4), A2)
+    np.testing.assert_allclose(multihead_matmul(A2, B2), full2 @ B2)
+
+
+def test_get_transform_size():
+    assert get_transform_size("Linear", "input", (64, 128)) == 128
+    assert get_transform_size("Linear", "weight_input", (64, 128)) == 128
+    assert get_transform_size("Linear", "weight_output", (64, 128)) == 64
+    assert get_transform_size("Linear", "output", (64, 128)) == 64
+    assert get_transform_size("Embedding", "weight_output", (1000, 64)) == 64
+    assert get_transform_size("Linear", "output", (64, 128), head_dim=16) == 16
+
+
+def test_fused_rotation_preserves_function(rng):
+    """WEIGHT_OUTPUT rotation on layer A + inverse WEIGHT_INPUT on layer B
+    leaves the composed function unchanged (the QuIP/SpinQuant invariance)."""
+    H = 64
+    w_a = rng.normal(size=(H, 32)).astype(np.float32)
+    b_a = rng.normal(size=(H,)).astype(np.float32)
+    w_b = rng.normal(size=(16, H)).astype(np.float32)
+    x = rng.normal(size=(5, 32)).astype(np.float32)
+
+    modules = {"a": LINEAR, "b": LINEAR}
+    states = {"a": {"weight": w_a, "bias": b_a}, "b": {"weight": w_b}}
+
+    config = TransformConfig(config_groups={
+        "rot": {
+            "type": "hadamard",
+            "apply": [
+                {"targets": ["a"], "location": "weight_output"},
+                {"targets": ["b"], "location": "weight_input",
+                 "inverse": True},
+            ],
+        }
+    })
+
+    new_states, online = apply_transform_config(states, modules, config)
+    assert online == {}
+
+    def fwd(states):
+        y = x @ states["a"]["weight"].T + states["a"]["bias"]
+        return y @ states["b"]["weight"].T
+
+    np.testing.assert_allclose(fwd(states), fwd(new_states),
+                               rtol=1e-4, atol=1e-4)
+    # and the weights actually changed
+    assert not np.allclose(states["a"]["weight"], new_states["a"]["weight"])
+
+
+def test_online_input_transform_matches_weight_input(rng):
+    """INPUT (online) of H equals WEIGHT_INPUT (fused) of H applied to x W^T."""
+    H = 32
+    w = rng.normal(size=(8, H)).astype(np.float64)
+    x = rng.normal(size=(3, H)).astype(np.float64)
+
+    modules = {"m": LINEAR}
+    config_online = TransformConfig(config_groups={
+        "r": {"type": "hadamard",
+              "apply": [{"targets": ["m"], "location": "input"}]}
+    })
+    config_fused = TransformConfig(config_groups={
+        "r": {"type": "hadamard",
+              "apply": [{"targets": ["m"], "location": "weight_input"}]}
+    })
+
+    _, online = apply_transform_config({"m": {"weight": w}}, modules,
+                                       config_online)
+    fused_states, _ = apply_transform_config({"m": {"weight": w}}, modules,
+                                             config_fused)
+
+    t = online["m"][0]
+    xh = apply_transform_weight(t.weight.astype(np.float64), x, t.location,
+                                t.module_type) * t.scale
+    y_online = xh @ w.T
+    # fused: Wh = W Vi^T -> y = x Wh^T ... with V orthonormalized hadamard,
+    # xh W^T == x (W V)^T requires V symmetric-free handling; instead check
+    # x V W^T == x (V^T W^T)... fused WEIGHT_INPUT computes W V^T? verify
+    # equivalence of the composed functions:
+    y_fused = x @ fused_states["m"]["weight"].T
+    np.testing.assert_allclose(y_online, y_fused, rtol=1e-10)
+
+
+def test_randomize_creates_distinct_weights(rng):
+    modules = {"a": LINEAR, "b": LINEAR}
+    states = {"a": {"weight": rng.normal(size=(16, 16))},
+              "b": {"weight": rng.normal(size=(16, 16))}}
+    config = TransformConfig(config_groups={
+        "r": {"type": "random-hadamard", "randomize": True,
+              "apply": [{"targets": ["a", "b"], "location": "input"}]}
+    })
+    _, online = apply_transform_config(states, modules, config, seed=7)
+    wa = online["a"][0].weight
+    wb = online["b"][0].weight
+    assert not np.array_equal(wa, wb)
+
+
+def test_head_dim_block_diagonal(rng):
+    """head_dim transforms produce block-diagonal application."""
+    w = rng.normal(size=(32, 16)).astype(np.float64)
+    modules = {"m": LINEAR}
+    config = TransformConfig(config_groups={
+        "r": {"type": "hadamard", "head_dim": 8,
+              "apply": [{"targets": ["m"], "location": "weight_output"}]}
+    })
+    new_states, _ = apply_transform_config({"m": {"weight": w}}, modules,
+                                           config)
+    H = deterministic_hadamard_matrix(8) / np.sqrt(8)
+    expected = np.kron(np.eye(4), H).T @ w
+    np.testing.assert_allclose(new_states["m"]["weight"], expected,
+                               rtol=1e-10)
+
+
+def test_transform_config_parses():
+    raw = {
+        "config_groups": {
+            "v": {
+                "type": "hadamard",
+                "apply": [
+                    {"targets": ["Linear"], "location": "input"},
+                    {"targets": ["Linear"], "location": "weight_input",
+                     "inverse": True},
+                ],
+                "head_dim": 128,
+            }
+        }
+    }
+    config = TransformConfig.model_validate(raw)
+    assert config.config_groups["v"].head_dim == 128
+    assert config.config_groups["v"].apply[1].inverse is True
+    # round trip
+    TransformConfig.model_validate(config.model_dump(mode="json"))
