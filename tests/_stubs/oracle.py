@@ -29,6 +29,11 @@ def load_reference():
     try:
         import compressed_tensors  # noqa: F401
 
-        return sys.modules["compressed_tensors"]
+        mod = sys.modules["compressed_tensors"]
+        # `from .version import *` skips underscore names; some submodules
+        # import compressed_tensors.__version__ directly
+        if not hasattr(mod, "__version__"):
+            mod.__version__ = vmod.__version__
+        return mod
     except Exception:
         return None
