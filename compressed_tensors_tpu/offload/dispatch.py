@@ -1,0 +1,119 @@
+"""Memory-aware placement planning.
+
+Functional analogue of `offload/dispatch.py:142-233` + the binary-search
+helper (`offload/utils/binary_search.py:17-41`): given per-module byte
+sizes and per-device memory budgets, find a greedy device assignment that
+fits, maximizing headroom via binary search over the per-device reserve.
+Falls back to host-offload for the overflow (modules assigned device -1).
+
+On TPU this is the planner behind streaming load of models larger than one
+chip's HBM (and the single-chip analogue of accelerate's dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, TypeVar
+
+__all__ = ["max_binary_search", "SearchFailureError", "dispatch_plan"]
+
+T = TypeVar("T")
+
+
+class SearchFailureError(ValueError):
+    pass
+
+
+def max_binary_search(
+    fn: Callable[[int], T],
+    cond: Callable[[T], bool],
+    start: int,
+    end: int,
+) -> tuple[int, T]:
+    """Largest idx in [start, end] where cond(fn(idx)) holds
+    (ref binary_search.py:17-41)."""
+    best_idx = None
+    best_val = None
+    while start <= end:
+        mid = (start + end) // 2
+        val = fn(mid)
+        if cond(val):
+            best_idx, best_val = mid, val
+            start = mid + 1
+        else:
+            end = mid - 1
+    if best_idx is None:
+        raise SearchFailureError()
+    return best_idx, best_val
+
+
+def _greedy_dispatch(
+    module_sizes: Mapping[str, int],
+    device_memory: list[int],
+    reserve: int,
+) -> dict[str, int] | None:
+    """Sequential greedy fill: modules stay in order (locality), moving to
+    the next device when the current one is full (ref dispatch.py:42-141
+    semantics). Returns None if modules do not fit."""
+    assignment: dict[str, int] = {}
+    device = 0
+    used = 0
+    for name, size in module_sizes.items():
+        while device < len(device_memory) and \
+                used + size > device_memory[device] - reserve:
+            device += 1
+            used = 0
+        if device >= len(device_memory):
+            return None
+        assignment[name] = device
+        used += size
+    return assignment
+
+
+def dispatch_plan(
+    module_sizes: Mapping[str, int],
+    device_memory: list[int],
+    allow_host_offload: bool = True,
+) -> dict[str, int]:
+    """Plan module -> device placement.
+
+    Binary-searches the largest per-device reserve ("extra memory" for
+    activations, ref dispatch.py:195-203) such that a greedy dispatch still
+    fits. If nothing fits even with zero reserve, offloads trailing modules
+    to host (device -1) until the rest fits (ref dispatch.py:205-233).
+
+    :return: module name -> device index (-1 = host-offloaded)
+    """
+    if not module_sizes:
+        return {}
+
+    try:
+        max_reserve = min(device_memory)
+        _, assignment = max_binary_search(
+            fn=lambda reserve: _greedy_dispatch(
+                module_sizes, device_memory, reserve
+            ),
+            cond=lambda a: a is not None,
+            start=0,
+            end=max_reserve,
+        )
+        return assignment
+    except SearchFailureError:
+        if not allow_host_offload:
+            raise
+
+    # pop modules (largest-last order of appearance) to host until fit
+    names = list(module_sizes.keys())
+    offloaded: set[str] = set()
+    for cut in range(len(names) - 1, -1, -1):
+        kept = {n: module_sizes[n] for n in names[: cut]}
+        assignment = _greedy_dispatch(kept, device_memory, 0)
+        if assignment is not None:
+            offloaded = set(names[cut:])
+            break
+    else:
+        assignment = {}
+        offloaded = set(names)
+
+    for name in offloaded:
+        assignment[name] = -1
+    return assignment
