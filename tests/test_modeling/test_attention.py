@@ -1,0 +1,137 @@
+"""Attention/KV-cache quantization hooks + impl backend + logger + MTP
+(mirrors reference tests/test_modeling/test_attention_and_cache.py and
+misc util tests)."""
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from compressed_tensors_tpu.modeling import (
+    calibrate_kv_scales,
+    initialize_hooked_attention,
+    quantize_post_rope,
+    register_key_hook,
+    register_query_hook,
+)
+from compressed_tensors_tpu.quantization import QuantizationArgs
+
+
+def _kv_args():
+    return QuantizationArgs(num_bits=8, type="float", strategy="tensor",
+                            symmetric=True)
+
+
+def test_initialize_attention_state():
+    state = initialize_hooked_attention(_kv_args(), quantize_query=True)
+    assert state.k_scale is not None
+    assert state.v_scale is not None
+    assert state.q_scale is not None
+    assert state.scheme.input_activations.num_bits == 8
+
+
+def test_calibrate_and_quantize(rng):
+    state = initialize_hooked_attention(_kv_args(), quantize_query=True)
+    k = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(1, 8, 4, 16)).astype(np.float32))
+
+    state = calibrate_kv_scales(state, k, v, q)
+    assert float(state.k_scale[0]) > 0
+
+    qq, kq, vq = quantize_post_rope(state, q, k, v)
+    # fp8 fake-quant keeps values close
+    assert float(jnp.abs(kq - k).mean()) < 0.05
+    assert float(jnp.abs(qq - q).mean()) < 0.05
+
+
+def test_hooks_fire(rng):
+    state = initialize_hooked_attention(None)
+    seen = []
+
+    register_query_hook(state, lambda v: seen.append("q") or v * 2)
+    register_key_hook(state, lambda v: seen.append("k"))
+
+    q = jnp.ones((2, 2))
+    k = jnp.ones((2, 2))
+    q2, k2, _ = quantize_post_rope(state, q, k, None)
+    assert seen == ["q", "k"]
+    np.testing.assert_array_equal(np.asarray(q2), 2 * np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(k2), np.ones((2, 2)))  # None hook
+
+
+def test_impl_backend_dispatch():
+    from compressed_tensors_tpu.utils.impl_backend import ImplBackend
+
+    calls = []
+
+    @ImplBackend.register("test_op_x", req=lambda x: x > 0, priority=1)
+    def fast_op(x):
+        calls.append("fast")
+        return x * 2
+
+    @ImplBackend.entrypoint("test_op_x")
+    def test_op(x):
+        calls.append("eager")
+        return x * 2
+
+    assert test_op(1) == 2 and calls[-1] == "fast"
+    assert test_op(-1) == -2 and calls[-1] == "eager"
+
+    os.environ["CT_TPU_ENFORCE_EAGER"] = "1"
+    try:
+        assert test_op(1) == 2 and calls[-1] == "eager"
+    finally:
+        del os.environ["CT_TPU_ENFORCE_EAGER"]
+
+    assert ImplBackend.call("fast_op", 3) == 6
+    assert "fast_op" in ImplBackend.registered("test_op_x")
+
+
+def test_log_once(caplog):
+    from compressed_tensors_tpu.logger import log_once, logger
+
+    logger.disabled = False
+    with caplog.at_level(logging.WARNING, logger="compressed_tensors_tpu"):
+        log_once(logging.WARNING, "unique-test-message-%d", 42)
+        log_once(logging.WARNING, "unique-test-message-%d", 42)
+    assert sum(
+        "unique-test-message" in r.getMessage() for r in caplog.records
+    ) == 1
+
+
+def test_mtp_carryover(tmp_path, rng):
+    import json
+
+    from compressed_tensors_tpu.utils.mtp import save_mtp_tensors_to_checkpoint
+    from compressed_tensors_tpu.utils.safetensors_io import (
+        SafetensorsFile,
+        save_safetensors,
+    )
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+
+    save_safetensors(str(src / "model.safetensors"), {
+        "model.w": rng.normal(size=(4,)).astype(np.float32),
+        "mtp.head.weight": rng.normal(size=(8,)).astype(np.float32),
+    })
+    save_safetensors(str(dst / "model.safetensors"), {
+        "model.w": rng.normal(size=(4,)).astype(np.float32),
+    })
+    with open(dst / "config.json", "w") as f:
+        json.dump({"quantization_config": {"ignore": []}}, f)
+
+    save_mtp_tensors_to_checkpoint(str(src), str(dst), mtp_prefix="mtp")
+
+    st = SafetensorsFile(str(dst / "model_mtp.safetensors"))
+    assert "mtp.head.weight" in st.keys()
+    with open(dst / "config.json") as f:
+        config = json.load(f)
+    assert "re:^mtp.*" in config["quantization_config"]["ignore"]
+    with open(dst / "model.safetensors.index.json") as f:
+        index = json.load(f)
+    assert index["weight_map"]["mtp.head.weight"] == "model_mtp.safetensors"
