@@ -60,7 +60,7 @@ def bench_decode(params, config, batch=64, prompt_len=16, steps=32):
 
         def body(i, carry):
             token, cache, acc = carry
-            positions = jnp.broadcast_to(cache.length, (B, 1))
+            positions = cache.lengths[:, None]
             logits, cache = llama_forward(params, config, token[:, None],
                                           positions, cache)
             token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)

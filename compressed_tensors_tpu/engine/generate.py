@@ -37,7 +37,7 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
     @jax.jit
     def decode(params, token, cache):
         B = token.shape[0]
-        positions = jnp.broadcast_to(cache.length, (B, 1))
+        positions = cache.lengths[:, None]
         logits, cache = llama_forward(
             params, config, token[:, None], positions, cache
         )

@@ -1,0 +1,242 @@
+"""Continuous-batching serving engine.
+
+The serving layer of SURVEY.md §7: fixed-slot continuous batching over a
+per-slot KV cache with static shapes (TPU-friendly — no dynamic shapes under
+jit). Requests queue up; finished slots are released and refilled by
+prefilling the next request into the freed slot while other slots keep
+decoding. All steps are jitted; slot bookkeeping is host-side.
+
+No reference counterpart (the reference delegates serving to vLLM); this is
+the engine BASELINE.json demands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compressed_tensors_tpu.models.config import LlamaConfig
+from compressed_tensors_tpu.models.llama import (
+    KVCache,
+    init_kv_cache,
+    llama_forward,
+)
+
+__all__ = ["ServingEngine", "Request", "Completion"]
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_ids: list[int]
+    max_new_tokens: int = 64
+    eos_token_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    prompt_ids: list[int]
+    output_ids: list[int]
+    finish_reason: str  # "stop" | "length"
+
+
+class ServingEngine:
+    """Fixed-slot continuous batching engine.
+
+    :param params: model params pytree (compressed weights)
+    :param config: model config
+    :param max_batch: number of concurrent sequence slots
+    :param max_len: per-slot KV capacity (prompt + generation)
+    """
+
+    def __init__(
+        self,
+        params,
+        config: LlamaConfig,
+        max_batch: int = 8,
+        max_len: int = 512,
+        prefill_chunk: int = 64,
+        dtype=jnp.bfloat16,
+        cache_dtype=None,
+    ):
+        self.params = params
+        self.config = config
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.prefill_chunk = prefill_chunk
+        self.dtype = dtype
+
+        self.cache: KVCache = init_kv_cache(
+            config, max_batch, max_len, dtype=dtype, cache_dtype=cache_dtype
+        )
+        self.tokens = jnp.zeros((max_batch,), dtype=jnp.int32)
+
+        # host-side slot state
+        self.slot_requests: list[Optional[Request]] = [None] * max_batch
+        self.slot_outputs: list[list[int]] = [[] for _ in range(max_batch)]
+        self.queue: deque[Request] = deque()
+        self.completions: list[Completion] = []
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ #
+    def _build_steps(self):
+        config = self.config
+
+        @partial(jax.jit, static_argnames=("chunk",))
+        def prefill_slot(params, cache, chunk_ids, slot, start, chunk: int):
+            """Prefill `chunk` tokens of one slot starting at `start`.
+
+            Runs the full forward with only this slot's row active: other
+            slots' cache rows are restored after the forward (their K/V
+            writes at their own lengths are masked out by restoring).
+            """
+            B = cache.k.shape[1]
+            row = jnp.zeros((B, chunk), dtype=jnp.int32)
+            row = jax.lax.dynamic_update_index_in_dim(
+                row, chunk_ids, slot, axis=0
+            )
+            positions = jnp.broadcast_to(
+                start + jnp.arange(chunk), (B, chunk)
+            )
+            # lengths for the forward: the target slot decodes from `start`;
+            # other slots must not advance -- save and restore them
+            lengths = cache.lengths
+            fwd_lengths = jnp.full((B,), start, dtype=jnp.int32)
+            fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
+            logits, new_cache = llama_forward(params, config, row, positions,
+                                              fwd_cache)
+            # keep only the target slot's K/V updates
+            slot_mask = (jnp.arange(B) == slot)[None, :, None, None, None]
+            k = jnp.where(slot_mask, new_cache.k, cache.k)
+            v = jnp.where(slot_mask, new_cache.v, cache.v)
+            new_lengths = jnp.where(jnp.arange(B) == slot,
+                                    start + chunk, lengths)
+            next_token = jnp.argmax(logits[slot, -1, :]).astype(jnp.int32)
+            return KVCache(k=k, v=v, lengths=new_lengths), next_token
+
+        @jax.jit
+        def decode_step(params, cache, tokens, active):
+            """One decode step for all slots; inactive slots don't advance."""
+            positions = cache.lengths[:, None]
+            logits, new_cache = llama_forward(
+                params, config, tokens[:, None], positions, cache
+            )
+            next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(
+                jnp.int32
+            )
+            active_b = active.astype(bool)
+            lengths = jnp.where(active_b, new_cache.lengths, cache.lengths)
+            mask = active_b[None, :, None, None, None]
+            k = jnp.where(mask, new_cache.k, cache.k)
+            v = jnp.where(mask, new_cache.v, cache.v)
+            next_tokens = jnp.where(active_b, next_tokens, tokens)
+            return KVCache(k=k, v=v, lengths=lengths), next_tokens
+
+        self._prefill_slot = prefill_slot
+        self._decode_step = decode_step
+
+    # ------------------------------------------------------------------ #
+    def submit(self, request: Request) -> None:
+        self.queue.append(request)
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, r in enumerate(self.slot_requests) if r is None]
+
+    def _admit(self) -> None:
+        """Prefill queued requests into free slots (chunked)."""
+        for slot in self._free_slots():
+            if not self.queue:
+                break
+            req = self.queue.popleft()
+            ids = list(req.prompt_ids)
+            if len(ids) + req.max_new_tokens > self.max_len:
+                ids = ids[-(self.max_len - req.max_new_tokens):]
+            # reset slot length to 0
+            self.cache = KVCache(
+                k=self.cache.k, v=self.cache.v,
+                lengths=self.cache.lengths.at[slot].set(0),
+            )
+            start = 0
+            chunk = self.prefill_chunk
+            next_token = None
+            while start < len(ids):
+                piece = ids[start : start + chunk]
+                pad = chunk - len(piece)
+                piece_arr = jnp.asarray(piece + [0] * pad, dtype=jnp.int32)
+                if pad:
+                    # last (ragged) chunk: use exact-size jit variant
+                    piece_arr = jnp.asarray(piece, dtype=jnp.int32)
+                    self.cache, next_token = self._prefill_slot(
+                        self.params, self.cache, piece_arr, slot, start,
+                        len(piece),
+                    )
+                else:
+                    self.cache, next_token = self._prefill_slot(
+                        self.params, self.cache, piece_arr, slot, start,
+                        chunk,
+                    )
+                start += len(piece)
+            self.tokens = self.tokens.at[slot].set(next_token)
+            self.slot_requests[slot] = req
+            self.slot_outputs[slot] = [int(next_token)]
+
+    def _retire(self) -> None:
+        """Release finished slots."""
+        lengths = np.asarray(self.cache.lengths)
+        for slot, req in enumerate(self.slot_requests):
+            if req is None:
+                continue
+            out = self.slot_outputs[slot]
+            finished_len = len(out) >= req.max_new_tokens
+            finished_cap = int(lengths[slot]) >= self.max_len - 1
+            finished_eos = (req.eos_token_id is not None and len(out) > 0
+                            and out[-1] == req.eos_token_id)
+            if finished_len or finished_eos or finished_cap:
+                self.completions.append(Completion(
+                    request_id=req.request_id,
+                    prompt_ids=list(req.prompt_ids),
+                    output_ids=list(out),
+                    finish_reason="stop" if finished_eos else "length",
+                ))
+                self.slot_requests[slot] = None
+                self.slot_outputs[slot] = []
+
+    def step(self) -> None:
+        """One engine iteration: admit, decode, collect, retire."""
+        self._retire()
+        self._admit()
+        # a prompt's first generated token may already finish the request
+        self._retire()
+        active = jnp.asarray(
+            [1 if r is not None else 0 for r in self.slot_requests],
+            dtype=jnp.int32,
+        )
+        if int(active.sum()) == 0:
+            return
+        self.cache, self.tokens = self._decode_step(
+            self.params, self.cache, self.tokens, active
+        )
+        host_tokens = np.asarray(self.tokens)
+        for slot, req in enumerate(self.slot_requests):
+            if req is not None:
+                self.slot_outputs[slot].append(int(host_tokens[slot]))
+        self._retire()
+
+    def run(self, max_steps: int = 10_000) -> list[Completion]:
+        """Run until all submitted requests complete."""
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_requests)) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+        done = self.completions
+        self.completions = []
+        return done

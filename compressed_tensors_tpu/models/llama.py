@@ -42,13 +42,19 @@ __all__ = [
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Dense KV cache. When k_scale/v_scale are present the cache stores
-    fp8/int8 values + per-layer scales (cache bytes halve), dequantized
-    inside attention."""
+    """Dense KV cache with per-slot lengths (continuous batching: every
+    batch row is an independent sequence slot). When k_scale/v_scale are
+    present the cache stores fp8/int8 values + per-layer scales (cache
+    bytes halve), dequantized inside attention."""
 
     k: jnp.ndarray  # (layers, B, S_max, kv_heads, head_dim) cache dtype
     v: jnp.ndarray
-    length: jnp.ndarray  # scalar int32: valid prefix length
+    lengths: jnp.ndarray  # (B,) int32: valid prefix length per slot
+
+    @property
+    def length(self):
+        # scalar view for single-sequence callers
+        return self.lengths[0]
 
 
 def init_kv_cache(
@@ -64,7 +70,7 @@ def init_kv_cache(
     return KVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
-        length=jnp.zeros((), dtype=jnp.int32),
+        lengths=jnp.zeros((batch,), dtype=jnp.int32),
     )
 
 
@@ -125,9 +131,9 @@ def _attention(
     sin: jnp.ndarray,
     kv_k: jnp.ndarray,
     kv_v: jnp.ndarray,
-    cache_len: jnp.ndarray,
+    cache_lens: jnp.ndarray,  # (B,) per-slot valid lengths
     config: LlamaConfig,
-    causal_offset: jnp.ndarray,
+    positions: jnp.ndarray,  # (B, S) query positions
 ):
     B, S, _ = x.shape
     H = config.num_attention_heads
@@ -141,15 +147,31 @@ def _attention(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
+    # post-RoPE query quantization hook point (ref attention.py:65)
+    q_scale = layer.get("q_scale")
+    if q_scale is not None:
+        s = q_scale.reshape(()).astype(jnp.float32)
+        q = (q.astype(jnp.float32) / s).astype(
+            jnp.float8_e4m3fn).astype(jnp.float32) * s
+        q = q.astype(x.dtype)
+
     k_scale = layer.get("k_scale")
     v_scale = layer.get("v_scale")
     cache_dtype = kv_k.dtype
 
-    # write new K/V into cache at [cache_len, cache_len + S)
+    # write new K/V into each slot at its own offset [len_b, len_b + S)
     k_c = _quantize_to_cache(k, k_scale, cache_dtype)
     v_c = _quantize_to_cache(v, v_scale, cache_dtype)
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k_c, (0, cache_len, 0, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v_c, (0, cache_len, 0, 0))
+    kv_k = jax.vmap(
+        lambda cache_b, new_b, off: jax.lax.dynamic_update_slice(
+            cache_b, new_b, (off, 0, 0)
+        )
+    )(kv_k, k_c, cache_lens)
+    kv_v = jax.vmap(
+        lambda cache_b, new_b, off: jax.lax.dynamic_update_slice(
+            cache_b, new_b, (off, 0, 0)
+        )
+    )(kv_v, v_c, cache_lens)
 
     keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)
     values = _dequantize_from_cache(kv_v, v_scale, x.dtype)
@@ -170,9 +192,10 @@ def _attention(
     scores = scores / jnp.sqrt(jnp.float32(D))
 
     T = kh.shape[2]
-    q_pos = causal_offset[:, :, None]            # (B, S, 1)
+    q_pos = positions[:, :, None]                 # (B, S, 1)
     k_pos = jnp.arange(T)[None, None, :]          # (1, 1, T)
-    mask = (k_pos <= q_pos) & (k_pos < cache_len + S)
+    valid = cache_lens[:, None, None] + S
+    mask = (k_pos <= q_pos) & (k_pos < valid)
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
@@ -208,13 +231,13 @@ def llama_forward(
 
     if kv_cache is None:
         kv_cache = init_kv_cache(config, B, S, dtype=x.dtype)
-    cache_len = kv_cache.length
+    cache_lens = kv_cache.lengths
 
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
         attn_out, k_i, v_i = _attention(
-            layer, h, cos, sin, kv_cache.k[i], kv_cache.v[i], cache_len,
+            layer, h, cos, sin, kv_cache.k[i], kv_cache.v[i], cache_lens,
             config, positions,
         )
         x = x + attn_out
@@ -236,7 +259,7 @@ def llama_forward(
         )
 
     kv_cache = KVCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache_len + S
+        k=jnp.stack(new_k), v=jnp.stack(new_v), lengths=cache_lens + S
     )
     return logits, kv_cache
 
