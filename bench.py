@@ -32,6 +32,8 @@ def build(preset, use_kernels, dense=False):
         make_synthetic_llama,
     )
 
+    from compressed_tensors_tpu.ops.fuse import fuse_llama_layers
+
     config = TINYLLAMA_1_1B
     if dense:
         params = make_synthetic_llama(config, preset="UNQUANTIZED",
@@ -39,6 +41,7 @@ def build(preset, use_kernels, dense=False):
     else:
         params = make_synthetic_llama(config, preset=preset,
                                       use_kernels=use_kernels)
+    params = fuse_llama_layers(params)
     return params, config
 
 

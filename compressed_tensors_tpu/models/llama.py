@@ -140,9 +140,16 @@ def _attention(
     KVH = config.num_key_value_heads
     D = config.head_dim
 
-    q = quantized_matmul(x, layer["q_proj"]).reshape(B, S, H, D)
-    k = quantized_matmul(x, layer["k_proj"]).reshape(B, S, KVH, D)
-    v = quantized_matmul(x, layer["v_proj"]).reshape(B, S, KVH, D)
+    if "qkv_proj" in layer:
+        qkv = quantized_matmul(x, layer["qkv_proj"])
+        s1, s2 = layer["qkv_splits"].value
+        q = qkv[..., :s1].reshape(B, S, H, D)
+        k = qkv[..., s1:s2].reshape(B, S, KVH, D)
+        v = qkv[..., s2:].reshape(B, S, KVH, D)
+    else:
+        q = quantized_matmul(x, layer["q_proj"]).reshape(B, S, H, D)
+        k = quantized_matmul(x, layer["k_proj"]).reshape(B, S, KVH, D)
+        v = quantized_matmul(x, layer["v_proj"]).reshape(B, S, KVH, D)
 
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
@@ -206,8 +213,13 @@ def _attention(
 
 
 def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
-    gate = quantized_matmul(x, layer["gate_proj"])
-    up = quantized_matmul(x, layer["up_proj"])
+    if "gate_up_proj" in layer:
+        gu = quantized_matmul(x, layer["gate_up_proj"])
+        (split,) = layer["gate_up_split"].value
+        gate, up = gu[..., :split], gu[..., split:]
+    else:
+        gate = quantized_matmul(x, layer["gate_proj"])
+        up = quantized_matmul(x, layer["up_proj"])
     return quantized_matmul(jax.nn.silu(gate) * up, layer["down_proj"])
 
 

@@ -67,12 +67,31 @@ class SafetensorsFile:
             self._mmap = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         return self._mmap
 
+    # tensors at least this large use the native parallel reader when
+    # available (cold-cache loads are IO-latency bound)
+    PARALLEL_READ_BYTES = 64 * 1024 * 1024
+
     def get(self, name: str) -> np.ndarray:
-        """Zero-copy view of one tensor (little-endian host layout)."""
+        """Zero-copy view of one tensor (little-endian host layout).
+
+        Large tensors are materialized with the native parallel pread
+        library (csrc/ct_io.cpp) when it is available."""
         info = self.header[name]
         dtype = SAFETENSORS_DTYPES[info["dtype"]]
         shape = tuple(info["shape"])
         start, end = info["data_offsets"]
+
+        if end - start >= self.PARALLEL_READ_BYTES:
+            from compressed_tensors_tpu.utils.native import (
+                read_range_parallel,
+            )
+
+            buf = read_range_parallel(
+                self.path, self._data_start + start, end - start
+            )
+            if buf is not None:
+                return buf.view(dtype).reshape(shape)
+
         mm = self._ensure_mmap()
         buf = memoryview(mm)[self._data_start + start : self._data_start + end]
         return np.frombuffer(buf, dtype=dtype).reshape(shape)
