@@ -79,8 +79,9 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
         scale = (
             jax.random.uniform(k2, (n, 1), dtype=jnp.float32) * 2e-4 + 1e-4
         )
-        return QuantizedTensor(weight=wq, scale=scale, shape=shape,
-                               scheme=scheme, format=fmt)
+        qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
+                             scheme=scheme, format=fmt)
+        return prepare_for_kernels(qt) if use_kernels else qt
 
     if fmt == CompressionFormat.float_quantized.value:
         import ml_dtypes
@@ -91,8 +92,9 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
         scale = (
             jax.random.uniform(k2, (n, 1), dtype=jnp.float32) * 2e-4 + 1e-4
         )
-        return QuantizedTensor(weight=wq, scale=scale, shape=shape,
-                               scheme=scheme, format=fmt)
+        qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
+                             scheme=scheme, format=fmt)
+        return prepare_for_kernels(qt) if use_kernels else qt
 
     raise NotImplementedError(fmt)
 

@@ -62,14 +62,16 @@ def fuse_quantized_tensors(
     kernel_meta = None
     kernel_packed = kernel_scales = kernel_zp = None
     if all(t.kernel_packed is not None for t in tensors):
-        metas = {t.kernel_meta[1:] for t in tensors} - \
-            {tensors[0].kernel_meta[1:]}
         # kernel layout is K-major: concat along axis 1 (N)
         kernel_packed = _concat_field(tensors, "kernel_packed", axis=1)
         kernel_scales = _concat_field(tensors, "kernel_scales", axis=1)
         kernel_zp = _concat_field(tensors, "kernel_zp", axis=1)
-        kind, _, k, k_pad, group_size, tk = first.kernel_meta
-        kernel_meta = (kind, n_total, k, k_pad, group_size, tk)
+        if first.kernel_meta[0] == "w8a8":
+            kind, _, k = first.kernel_meta
+            kernel_meta = (kind, n_total, k)
+        else:
+            kind, _, k, k_pad, group_size, tk = first.kernel_meta
+            kernel_meta = (kind, n_total, k, k_pad, group_size, tk)
 
     return dataclasses.replace(
         first,

@@ -1,0 +1,122 @@
+"""Fused W8A8 dynamic-quant matmul Pallas kernel (int8 and fp8).
+
+One kernel per matmul: per-token activation quantization (the reference's
+dynamic TOKEN strategy, ref quant_scheme.py INT8_W8A8/FP8_DYNAMIC presets)
+happens in VMEM, the dot runs on the MXU in int8/fp8 with fp32/int32
+accumulation, and the per-token x per-channel rescale applies to the output
+tile. Activations never materialize quantized in HBM and the weight is read
+once in its 1-byte storage dtype.
+
+Weight layout: stored transposed (K, N) so the contraction is over sublanes
+(same reasoning as the W4A16 kernel); per-channel weight scales are a
+(1, N) row broadcast over the output tile.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["w8a8_matmul", "prepare_w8_weight"]
+
+
+def _interpret() -> bool:
+    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+def prepare_w8_weight(weight: jnp.ndarray) -> jnp.ndarray:
+    """Checkpoint layout (N, K) int8/fp8 -> kernel layout (K, N)."""
+    return weight.T
+
+
+def _make_kernel(is_int8: bool, q_max: float):
+    # symmetric dynamic scale = maxabs / (bit_range / 2):
+    # int8 range [-128, 127] -> /127.5; fp8 [-448, 448] -> /448
+    # (ref quantization/utils/helpers.py:79-87)
+    half_range = (2 * q_max + 1) / 2 if is_int8 else q_max
+
+    def kernel(x_ref, w_ref, wscale_ref, out_ref):
+        x = x_ref[:].astype(jnp.float32)  # (TB, K)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (TB, 1)
+        x_scale = jnp.maximum(absmax / half_range, 1e-10)
+        scaled = x / x_scale
+        if is_int8:
+            x_q = jnp.round(jnp.clip(scaled, -q_max - 1, q_max)).astype(
+                jnp.int8
+            )
+            acc = jax.lax.dot_general(
+                x_q, w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            x_q = jnp.clip(scaled, -q_max, q_max).astype(w_ref.dtype)
+            acc = jax.lax.dot_general(
+                x_q, w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        w_scale = wscale_ref[0, :].astype(jnp.float32)  # (TN,)
+        out_ref[:] = acc * x_scale * w_scale[None, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "tn", "out_dtype")
+)
+def w8a8_matmul(
+    x: jnp.ndarray,        # (B, K) activations (bf16/f32)
+    w_t: jnp.ndarray,      # (K, N) int8 or fp8_e4m3
+    w_scale: jnp.ndarray,  # (1, N) per-channel (or broadcast per-tensor)
+    n: int,
+    k: int,
+    tn: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """y = dynamic_quant(x) @ W^T rescaled; returns (B, N)."""
+    b = x.shape[0]
+    tb = max(8, int(np.ceil(b / 8) * 8))
+    if tb != b:
+        x = jnp.pad(x, ((0, tb - b), (0, 0)))
+
+    tn = min(tn, int(np.ceil(n / 128) * 128))
+    n_pad = int(np.ceil(n / tn) * tn)
+    if n_pad != n:
+        w_t = jnp.pad(w_t, ((0, 0), (0, n_pad - n)))
+        w_scale = jnp.pad(w_scale, ((0, 0), (0, n_pad - n)))
+
+    is_int8 = w_t.dtype == jnp.int8
+    q_max = 127.0 if is_int8 else 448.0
+
+    out = pl.pallas_call(
+        _make_kernel(is_int8, q_max),
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((tb, k), lambda ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tn), lambda ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda ni: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tb, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tb * n_pad * k,
+            bytes_accessed=n_pad * k + tb * k * 2 + tb * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, w_t, w_scale)
+
+    return out[:b, :n].astype(out_dtype)

@@ -235,9 +235,14 @@ def materialize_weight(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
     """Repack a checkpoint-layout weight into the fused-kernel layout.
 
-    Currently covers W4A16 pack_quantized (group strategy, no actorder).
-    Layers the kernel cannot serve keep only the checkpoint representation
-    and fall back to the XLA dequant path.
+    Covers:
+    - W4A16 pack_quantized (group strategy, no actorder) -> fused
+      dequant+matmul kernel
+    - W8A8 int8 / FP8 (channel or tensor weight scales + dynamic token
+      acts) -> fused act-quant + 8-bit MXU matmul kernel
+
+    Layers no kernel serves keep the checkpoint representation and fall
+    back to the XLA path.
     """
     from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
         choose_k_tile,
@@ -247,6 +252,38 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
     )
 
     weights_args = qt.scheme.weights if qt.scheme is not None else None
+    input_args = qt.scheme.input_activations if qt.scheme is not None else None
+
+    # ---- W8A8 (int8 / fp8) fused act-quant matmul ---------------------- #
+    if (
+        qt.weight is not None
+        and (qt.weight.dtype == jnp.int8
+             or str(qt.weight.dtype).startswith("float8"))
+        and qt.sparse_values is None
+        and weights_args is not None
+        and weights_args.strategy in (QuantizationStrategy.CHANNEL.value,
+                                      QuantizationStrategy.TENSOR.value)
+        and input_args is not None
+        and input_args.dynamic is True
+        and input_args.symmetric
+        and len(qt.shape) == 2
+    ):
+        from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (
+            prepare_w8_weight,
+        )
+
+        n, k = qt.shape
+        w_scale = qt.scale.astype(jnp.float32).reshape(1, -1)
+        if w_scale.shape[-1] == 1 and n > 1:  # per-tensor -> broadcast row
+            w_scale = jnp.broadcast_to(w_scale, (1, n))
+        return dataclasses.replace(
+            qt,
+            kernel_packed=prepare_w8_weight(qt.weight),
+            kernel_scales=w_scale,
+            kernel_meta=("w8a8", n, k),
+        )
+
+    # ---- W4A16 fused dequant matmul ------------------------------------ #
     if (
         qt.format != CompressionFormat.pack_quantized.value
         or weights_args is None
@@ -396,15 +433,29 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     )
 
     if qt.kernel_packed is not None and _kernel_enabled():
-        from compressed_tensors_tpu.ops.kernels.w4a16_matmul import w4a16_matmul
-
-        kind, n, k, k_pad, group_size, tk = qt.kernel_meta
         lead = x.shape[:-1]
-        x2d = x.reshape(-1, k)
-        out = w4a16_matmul(
-            x2d, qt.kernel_packed, qt.kernel_scales, qt.kernel_zp,
-            n=n, k=k_pad, group_size=group_size, tk=tk, out_dtype=x.dtype,
-        ).reshape(*lead, n)
+        if qt.kernel_meta[0] == "w8a8":
+            from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (
+                w8a8_matmul,
+            )
+
+            kind, n, k = qt.kernel_meta
+            out = w8a8_matmul(
+                x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
+                n=n, k=k, out_dtype=x.dtype,
+            ).reshape(*lead, n)
+        else:
+            from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+                w4a16_matmul,
+            )
+
+            kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+            out = w4a16_matmul(
+                x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
+                qt.kernel_zp,
+                n=n, k=k_pad, group_size=group_size, tk=tk,
+                out_dtype=x.dtype,
+            ).reshape(*lead, n)
     elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)
     elif use_fp8_path:
