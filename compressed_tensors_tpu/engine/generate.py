@@ -34,7 +34,7 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
         next_token = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1)
         return next_token.astype(jnp.int32), cache, logits
 
-    @jax.jit
+    @partial(jax.jit, donate_argnames=("cache",))
     def decode(params, token, cache):
         B = token.shape[0]
         positions = cache.lengths[:, None]

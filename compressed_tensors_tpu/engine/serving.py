@@ -90,13 +90,18 @@ class ServingEngine:
     def _build_steps(self):
         config = self.config
 
-        @partial(jax.jit, static_argnames=("chunk",))
-        def prefill_slot(params, cache, chunk_ids, slot, start, chunk: int):
-            """Prefill `chunk` tokens of one slot starting at `start`.
+        @partial(jax.jit, static_argnames=("chunk",),
+                 donate_argnames=("cache",))
+        def prefill_slot(params, cache, chunk_ids, slot, start, true_len,
+                         chunk: int):
+            """Prefill up to `chunk` tokens of one slot starting at `start`.
 
-            Runs the full forward with only this slot's row active: other
-            slots' cache rows are restored after the forward (their K/V
-            writes at their own lengths are masked out by restoring).
+            `chunk_ids` is padded to the static bucket size `chunk`;
+            `true_len` is the real token count. Only this slot's row is
+            active during the forward: every other row carries the sentinel
+            length -1, which skips its K/V writes inside the attention
+            (kernel and eager paths both honor it) — the cache is never
+            copy-masked.
             """
             B = cache.k.shape[1]
             row = jnp.zeros((B, chunk), dtype=jnp.int32)
@@ -106,39 +111,39 @@ class ServingEngine:
             positions = jnp.broadcast_to(
                 start + jnp.arange(chunk), (B, chunk)
             )
-            # lengths for the forward: the target slot decodes from `start`;
-            # other slots must not advance -- save and restore them
             lengths = cache.lengths
-            fwd_lengths = jnp.full((B,), start, dtype=jnp.int32)
+            is_slot = jnp.arange(B) == slot
+            fwd_lengths = jnp.where(is_slot, start, -1).astype(jnp.int32)
             fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
             logits, new_cache = llama_forward(params, config, row, positions,
                                               fwd_cache)
-            # keep only the target slot's K/V updates
-            slot_mask = (jnp.arange(B) == slot)[None, :, None, None, None]
-            k = jnp.where(slot_mask, new_cache.k, cache.k)
-            v = jnp.where(slot_mask, new_cache.v, cache.v)
-            new_lengths = jnp.where(jnp.arange(B) == slot,
-                                    start + chunk, lengths)
-            next_token = jnp.argmax(logits[slot, -1, :]).astype(jnp.int32)
-            return KVCache(k=k, v=v, lengths=new_lengths), next_token
+            new_lengths = jnp.where(is_slot, start + true_len, lengths)
+            next_token = jnp.argmax(
+                logits[slot, true_len - 1, :]
+            ).astype(jnp.int32)
+            return (KVCache(k=new_cache.k, v=new_cache.v,
+                            lengths=new_lengths), next_token)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnames=("cache",))
         def decode_step(params, cache, tokens, active):
-            """One decode step for all slots; inactive slots don't advance."""
-            positions = cache.lengths[:, None]
+            """One decode step for all slots; inactive slots carry the
+            sentinel length -1 through the forward so their cache rows are
+            untouched in place (no copy-masking of cache bytes)."""
+            active_b = active.astype(bool)
+            lengths = cache.lengths
+            fwd_lengths = jnp.where(active_b, lengths, -1).astype(jnp.int32)
+            positions = fwd_lengths[:, None]
+            fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
             logits, new_cache = llama_forward(
-                params, config, tokens[:, None], positions, cache
+                params, config, tokens[:, None], positions, fwd_cache
             )
             next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(
                 jnp.int32
             )
-            active_b = active.astype(bool)
-            lengths = jnp.where(active_b, new_cache.lengths, cache.lengths)
-            mask = active_b[None, :, None, None, None]
-            k = jnp.where(mask, new_cache.k, cache.k)
-            v = jnp.where(mask, new_cache.v, cache.v)
+            new_lengths = jnp.where(active_b, lengths + 1, lengths)
             next_tokens = jnp.where(active_b, next_tokens, tokens)
-            return KVCache(k=k, v=v, lengths=lengths), next_tokens
+            return (KVCache(k=new_cache.k, v=new_cache.v,
+                            lengths=new_lengths), next_tokens)
 
         self._prefill_slot = prefill_slot
         self._decode_step = decode_step
@@ -169,20 +174,26 @@ class ServingEngine:
             next_token = None
             while start < len(ids):
                 piece = ids[start : start + chunk]
-                pad = chunk - len(piece)
+                # pad ragged chunks up to a power-of-two bucket so the jit
+                # variant count stays logarithmic (one compile per bucket,
+                # not per prompt length); the pad positions write K/V past
+                # the recorded length, which attention masks out and later
+                # tokens overwrite
+                bucket = 8
+                while bucket < len(piece):
+                    bucket *= 2
+                bucket = min(bucket, chunk)
+                if start + bucket > self.max_len:
+                    # padding would spill past the cache and the clamped
+                    # write would shift onto valid positions: fall back to
+                    # an exact-size variant for this rare tail
+                    bucket = len(piece)
+                pad = bucket - len(piece)
                 piece_arr = jnp.asarray(piece + [0] * pad, dtype=jnp.int32)
-                if pad:
-                    # last (ragged) chunk: use exact-size jit variant
-                    piece_arr = jnp.asarray(piece, dtype=jnp.int32)
-                    self.cache, next_token = self._prefill_slot(
-                        self.params, self.cache, piece_arr, slot, start,
-                        len(piece),
-                    )
-                else:
-                    self.cache, next_token = self._prefill_slot(
-                        self.params, self.cache, piece_arr, slot, start,
-                        chunk,
-                    )
+                self.cache, next_token = self._prefill_slot(
+                    self.params, self.cache, piece_arr, slot, start,
+                    len(piece), bucket,
+                )
                 start += len(piece)
             self.tokens = self.tokens.at[slot].set(next_token)
             self.slot_requests[slot] = req

@@ -76,10 +76,13 @@ def init_kv_cache(
     dtype=jnp.bfloat16,
     cache_dtype=None,
 ) -> KVCache:
-    s_pad = int(np.ceil(max_len / 8) * 8)
+    cd = cache_dtype or dtype
+    # sublane-tile alignment: 8 rows for 2-byte dtypes, 32 for fp8/int8
+    # (the decode kernel writes back tile-aligned row spans)
+    align = 32 if jnp.dtype(cd).itemsize == 1 else 8
+    s_pad = int(np.ceil(max_len / align) * align)
     shape = (config.num_hidden_layers, batch, config.num_key_value_heads,
              s_pad, padded_head_dim(config.head_dim))
-    cd = cache_dtype or dtype
     return KVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
@@ -139,11 +142,12 @@ def _dequantize_from_cache(x, scale, dtype):
 
 def _attention(
     layer: dict,
+    layer_idx: int,
     x: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    kv_k: jnp.ndarray,
-    kv_v: jnp.ndarray,
+    kv_k_all: jnp.ndarray,  # (L, B, KVH, S_pad, Dp) full stacked cache
+    kv_v_all: jnp.ndarray,
     cache_lens: jnp.ndarray,  # (B,) per-slot valid lengths
     config: LlamaConfig,
     positions: jnp.ndarray,  # (B, S) query positions
@@ -177,13 +181,14 @@ def _attention(
 
     k_scale = layer.get("k_scale")
     v_scale = layer.get("v_scale")
-    cache_dtype = kv_k.dtype
+    cache_dtype = kv_k_all.dtype
 
     # fused decode path: one Pallas op does the cache append (in place) +
-    # GQA attention for single-token steps
+    # GQA attention for single-token steps. The stacked cache buffer is
+    # aliased through the kernel, so no cache bytes are copied.
     from compressed_tensors_tpu.ops.linear import _kernel_enabled
 
-    Dp = kv_k.shape[-1]  # lane-padded head dim (cache layout)
+    Dp = kv_k_all.shape[-1]  # lane-padded head dim (cache layout)
 
     if S == 1 and _kernel_enabled() and (k_scale is None) == (v_scale is None):
         from compressed_tensors_tpu.ops.kernels.decode_attention import (
@@ -195,9 +200,9 @@ def _attention(
             jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
             jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
             jnp.pad(v, pad)[:, 0],
-            kv_k, kv_v, cache_lens,
+            kv_k_all, kv_v_all, cache_lens,
             kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
-            k_scale=k_scale, v_scale=v_scale,
+            k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
         )
         out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
         return quantized_matmul(out, layer["o_proj"]), ck, cv
@@ -209,16 +214,20 @@ def _attention(
     v_c = _quantize_to_cache(jnp.pad(v, pad), v_scale, cache_dtype)
     k_c = k_c.transpose(0, 2, 1, 3)  # (B, KVH, S, Dp)
     v_c = v_c.transpose(0, 2, 1, 3)
-    kv_k = jax.vmap(
-        lambda cache_b, new_b, off: jax.lax.dynamic_update_slice(
-            cache_b, new_b, (0, off, 0)
+    # rows with a negative length are inactive slots (serving engine
+    # sentinel): their K/V writes are skipped entirely
+    def _write_row(cache_b, new_b, off):
+        upd = jax.lax.dynamic_update_slice(
+            cache_b, new_b, (0, jnp.maximum(off, 0), 0)
         )
-    )(kv_k, k_c, cache_lens)
-    kv_v = jax.vmap(
-        lambda cache_b, new_b, off: jax.lax.dynamic_update_slice(
-            cache_b, new_b, (0, off, 0)
-        )
-    )(kv_v, v_c, cache_lens)
+        return jnp.where(off >= 0, upd, cache_b)
+
+    kv_k = jax.vmap(_write_row)(kv_k_all[layer_idx], k_c, cache_lens)
+    kv_v = jax.vmap(_write_row)(kv_v_all[layer_idx], v_c, cache_lens)
+    kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, kv_k,
+                                                   layer_idx, 0)
+    kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, kv_v,
+                                                   layer_idx, 0)
 
     keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)[..., :D]
     values = _dequantize_from_cache(kv_v, v_scale, x.dtype)[..., :D]
@@ -245,7 +254,7 @@ def _attention(
     out = jnp.einsum("bkrst,bktd->bskrd", probs, values,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(B, S, H * D)
-    return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
+    return quantized_matmul(out, layer["o_proj"]), kv_k_all, kv_v_all
 
 
 def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -281,18 +290,19 @@ def llama_forward(
         kv_cache = init_kv_cache(config, B, S, dtype=x.dtype)
     cache_lens = kv_cache.lengths
 
-    new_k, new_v = [], []
+    # the stacked cache buffers thread through every layer; in the fused
+    # decode path each layer's kernel aliases them in place, so the whole
+    # step performs zero cache copies
+    kv_k_all, kv_v_all = kv_cache.k, kv_cache.v
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
-        attn_out, k_i, v_i = _attention(
-            layer, h, cos, sin, kv_cache.k[i], kv_cache.v[i], cache_lens,
+        attn_out, kv_k_all, kv_v_all = _attention(
+            layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
             config, positions,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
         x = x + _mlp(layer, h)
-        new_k.append(k_i)
-        new_v.append(v_i)
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps)
 
@@ -306,9 +316,7 @@ def llama_forward(
             preferred_element_type=jnp.float32,
         )
 
-    kv_cache = KVCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v), lengths=cache_lens + S
-    )
+    kv_cache = KVCache(k=kv_k_all, v=kv_v_all, lengths=cache_lens + S)
     return logits, kv_cache
 
 
