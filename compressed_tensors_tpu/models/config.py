@@ -1,4 +1,13 @@
-"""Model configuration parsed from HF config.json."""
+"""Model configuration parsed from HF config.json.
+
+Covers the dense Llama family plus MoE variants (Mixtral / Qwen-MoE /
+DeepSeek-MoE style: a router linear + E stacked experts, optionally with a
+dense shared expert and leading dense layers). The reference library has no
+model definitions — its MoE surface is the 3D expert-stacked tensors its
+codecs pack slice-wise (ref compressors/pack_quantized/helpers.py:44-51) and
+the vLLM MoE-gate module aliasing (ref quantization/quant_config.py:370-382);
+this config is the engine-side counterpart that consumes those checkpoints.
+"""
 
 from __future__ import annotations
 
@@ -23,10 +32,37 @@ class LlamaConfig:
     max_position_embeddings: int = 2048
     tie_word_embeddings: bool = False
 
+    # MoE (0 experts -> dense MLP everywhere)
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0       # per-expert FFN width
+    shared_expert_intermediate_size: int = 0  # 0 -> no shared expert
+    first_k_dense_replace: int = 0       # leading layers that stay dense
+    norm_topk_prob: bool = True          # renormalize top-k router weights
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        return self.is_moe and layer_idx >= self.first_k_dense_replace
+
     @classmethod
     def from_dict(cls, d: dict) -> "LlamaConfig":
         head_dim = d.get("head_dim") or (
             d["hidden_size"] // d["num_attention_heads"]
+        )
+        # MoE field aliases across HF model families
+        num_experts = (
+            d.get("num_local_experts")      # mixtral
+            or d.get("num_experts")         # qwen2/3-moe
+            or d.get("n_routed_experts")    # deepseek
+            or 0
+        )
+        moe_inter = (
+            d.get("moe_intermediate_size")  # qwen/deepseek
+            or (d.get("intermediate_size") if num_experts else 0)  # mixtral
+            or 0
         )
         return cls(
             vocab_size=d["vocab_size"],
@@ -41,6 +77,16 @@ class LlamaConfig:
             rope_theta=d.get("rope_theta", 10000.0),
             max_position_embeddings=d.get("max_position_embeddings", 2048),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            num_local_experts=num_experts,
+            num_experts_per_tok=(
+                d.get("num_experts_per_tok") or d.get("top_k") or 2
+            ),
+            moe_intermediate_size=moe_inter,
+            shared_expert_intermediate_size=d.get(
+                "shared_expert_intermediate_size", 0
+            ) or 0,
+            first_k_dense_replace=d.get("first_k_dense_replace", 0) or 0,
+            norm_topk_prob=d.get("norm_topk_prob", True),
         )
 
     @classmethod

@@ -257,7 +257,11 @@ def _attention(
     return quantized_matmul(out, layer["o_proj"]), kv_k_all, kv_v_all
 
 
-def _mlp(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig) -> jnp.ndarray:
+    if "moe" in layer:
+        from compressed_tensors_tpu.models.moe import moe_mlp
+
+        return moe_mlp(layer, x, config)
     if "gate_up_proj" in layer:
         gu = quantized_matmul(x, layer["gate_up_proj"])
         (split,) = layer["gate_up_split"].value
@@ -302,7 +306,7 @@ def llama_forward(
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, config)
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps)
 
@@ -375,13 +379,62 @@ def load_llama_params(
     embed_qt = _get_qt("model.embed_tokens")
     params["embed_tokens"] = materialize_weight(embed_qt, dtype=dtype)
 
+    from compressed_tensors_tpu.ops.linear import stack_quantized_tensors
+
+    def _load_moe(prefix: str) -> dict | None:
+        """Stacked-expert MoE block. Recognizes Qwen/DeepSeek naming
+        (`mlp.experts.N.{gate,up,down}_proj` + `mlp.gate` router, optional
+        `mlp.shared_expert[s]`) and Mixtral naming
+        (`block_sparse_moe.experts.N.{w1,w3,w2}` + `block_sparse_moe.gate`).
+        """
+        styles = [
+            (f"{prefix}.mlp", "experts", ("gate_proj", "up_proj", "down_proj"),
+             ("gate_proj", "up_proj", "down_proj")),
+            (f"{prefix}.block_sparse_moe", "experts", ("w1", "w3", "w2"),
+             ("gate_proj", "up_proj", "down_proj")),
+        ]
+        for base, exp, src_names, dst_names in styles:
+            if f"{base}.{exp}.0.{src_names[0]}" not in module_names:
+                continue
+            E = config.num_local_experts or sum(
+                1 for m in module_names
+                if m.startswith(f"{base}.{exp}.")
+                and m.endswith(f".{src_names[0]}")
+            )
+            experts = {
+                dst: stack_quantized_tensors([
+                    _get_qt(f"{base}.{exp}.{j}.{src}") for j in range(E)
+                ])
+                for src, dst in zip(src_names, dst_names)
+            }
+            router_state = reader.module_state_dict(f"{base}.gate")
+            moe: dict = {
+                "router": _put(router_state["weight"], base, "gate").astype(
+                    dtype
+                ),
+                "experts": experts,
+            }
+            for shared in ("shared_expert", "shared_experts"):
+                if f"{base}.{shared}.gate_proj" in module_names:
+                    moe["shared_expert"] = {
+                        p: _get_qt(f"{base}.{shared}.{p}")
+                        for p in ("gate_proj", "up_proj", "down_proj")
+                    }
+                    break
+            return moe
+        return None
+
     for i in range(config.num_hidden_layers):
         prefix = f"model.layers.{i}"
         layer: dict = {}
         for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
             layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}")
-        for proj in ("gate_proj", "up_proj", "down_proj"):
-            layer[proj] = _get_qt(f"{prefix}.mlp.{proj}")
+        moe = _load_moe(prefix)
+        if moe is not None:
+            layer["moe"] = moe
+        else:
+            for proj in ("gate_proj", "up_proj", "down_proj"):
+                layer[proj] = _get_qt(f"{prefix}.mlp.{proj}")
         # norms are plain tensors (module_state_dict returns {"weight": ...})
         layer["input_layernorm"] = _put(
             reader.get(f"{prefix}.input_layernorm.weight"), prefix, "ln"

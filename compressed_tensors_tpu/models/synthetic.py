@@ -42,7 +42,10 @@ LLAMA3_8B = LlamaConfig(
 
 def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
                   use_kernels: bool) -> QuantizedTensor:
-    n, k = shape
+    """Random packed weight for `shape`; leading dims (3D stacked MoE
+    experts, the reference's slice-wise layout) are supported for the
+    pack/int/float formats."""
+    *lead, n, k = shape
     args = scheme.weights
     if args is None:
         w = (jax.random.normal(key, shape, dtype=jnp.float32) * 0.02).astype(
@@ -59,11 +62,12 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
         g = args.group_size or k
         pc = packed_cols(k, args.num_bits)
         packed = jax.random.randint(
-            k1, (n, pc), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
+            k1, (*lead, n, pc), minval=-(2**31), maxval=2**31 - 1,
+            dtype=jnp.int32
         )
         scale = (
-            jax.random.uniform(k2, (n, k // g), dtype=jnp.float32) * 0.002
-            + 0.001
+            jax.random.uniform(k2, (*lead, n, k // g), dtype=jnp.float32)
+            * 0.002 + 0.001
         ).astype(jnp.bfloat16)
         qt = QuantizedTensor(
             weight_packed=packed, scale=scale, shape=shape, scheme=scheme,
@@ -77,7 +81,8 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
             jnp.int8
         )
         scale = (
-            jax.random.uniform(k2, (n, 1), dtype=jnp.float32) * 2e-4 + 1e-4
+            jax.random.uniform(k2, (*lead, n, 1), dtype=jnp.float32) * 2e-4
+            + 1e-4
         )
         qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
                              scheme=scheme, format=fmt)
@@ -90,7 +95,8 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
             jnp.dtype(ml_dtypes.float8_e4m3fn)
         )
         scale = (
-            jax.random.uniform(k2, (n, 1), dtype=jnp.float32) * 2e-4 + 1e-4
+            jax.random.uniform(k2, (*lead, n, 1), dtype=jnp.float32) * 2e-4
+            + 1e-4
         )
         qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
                              scheme=scheme, format=fmt)
@@ -119,7 +125,7 @@ def make_synthetic_llama(
     V = config.vocab_size
 
     key = jax.random.PRNGKey(seed)
-    keys = iter(jax.random.split(key, config.num_hidden_layers * 7 + 3))
+    keys = iter(jax.random.split(key, config.num_hidden_layers * 12 + 3))
 
     params: dict = {
         "embed_tokens": (
@@ -142,15 +148,44 @@ def make_synthetic_llama(
                                     use_kernels),
             "o_proj": _synthetic_qt(next(keys), (H, NH * D), scheme, dtype,
                                     use_kernels),
-            "gate_proj": _synthetic_qt(next(keys), (I, H), scheme, dtype,
-                                       use_kernels),
-            "up_proj": _synthetic_qt(next(keys), (I, H), scheme, dtype,
-                                     use_kernels),
-            "down_proj": _synthetic_qt(next(keys), (H, I), scheme, dtype,
-                                       use_kernels),
             "input_layernorm": jnp.ones((H,), dtype=dtype),
             "post_attention_layernorm": jnp.ones((H,), dtype=dtype),
         }
+        if config.layer_is_moe(i):
+            E = config.num_local_experts
+            Im = config.moe_intermediate_size or I
+            moe: dict = {
+                "router": (
+                    jax.random.normal(next(keys), (E, H), dtype=jnp.float32)
+                    * 0.02
+                ).astype(dtype),
+                "experts": {
+                    "gate_proj": _synthetic_qt(next(keys), (E, Im, H),
+                                               scheme, dtype, use_kernels),
+                    "up_proj": _synthetic_qt(next(keys), (E, Im, H),
+                                             scheme, dtype, use_kernels),
+                    "down_proj": _synthetic_qt(next(keys), (E, H, Im),
+                                               scheme, dtype, use_kernels),
+                },
+            }
+            Is = config.shared_expert_intermediate_size
+            if Is:
+                moe["shared_expert"] = {
+                    "gate_proj": _synthetic_qt(next(keys), (Is, H), scheme,
+                                               dtype, use_kernels),
+                    "up_proj": _synthetic_qt(next(keys), (Is, H), scheme,
+                                             dtype, use_kernels),
+                    "down_proj": _synthetic_qt(next(keys), (H, Is), scheme,
+                                               dtype, use_kernels),
+                }
+            layer["moe"] = moe
+        else:
+            layer["gate_proj"] = _synthetic_qt(next(keys), (I, H), scheme,
+                                               dtype, use_kernels)
+            layer["up_proj"] = _synthetic_qt(next(keys), (I, H), scheme,
+                                             dtype, use_kernels)
+            layer["down_proj"] = _synthetic_qt(next(keys), (H, I), scheme,
+                                               dtype, use_kernels)
         params["layers"].append(layer)
 
     params["lm_head"] = params["embed_tokens"]

@@ -32,7 +32,12 @@ from compressed_tensors_tpu.quantization import (
     QuantizationStrategy,
 )
 
-__all__ = ["QuantizedTensor", "quantized_matmul", "from_compressed_state"]
+__all__ = [
+    "QuantizedTensor",
+    "quantized_matmul",
+    "quantized_matmul_experts",
+    "from_compressed_state",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -393,6 +398,88 @@ def _fp8_matmul(x, qt: QuantizedTensor, input_args):
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+
+
+def stack_quantized_tensors(qts: list[QuantizedTensor]) -> QuantizedTensor:
+    """Stack per-expert QuantizedTensors into one with a leading expert dim
+    (the reference's slice-wise 3D layout,
+    ref compressors/pack_quantized/helpers.py:44-51). All experts must share
+    scheme/format/shape."""
+    for qt in qts[1:]:
+        if qt.format != qts[0].format or qt.shape != qts[0].shape:
+            raise ValueError("experts must share format and shape to stack")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    return dataclasses.replace(stacked, shape=(len(qts), *qts[0].shape))
+
+
+def quantized_matmul_experts(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+    """Batched expert matmul: y[e] = x[e] @ W[e]^T for stacked expert weights.
+
+    `x` is the (E, C, K) dispatch buffer; `qt`'s array leaves carry a leading
+    expert dim (the reference's slice-wise-packed 3D MoE layout,
+    ref compressors/pack_quantized/helpers.py:44-51). Dispatches like
+    `quantized_matmul`:
+    - int8 weights + dynamic token acts: batched int8 MXU matmul
+    - fp8 weights + dynamic acts: batched fp8 MXU matmul
+    - everything else: batched dequant (XLA-fused) + bf16 matmul
+    """
+    scheme = qt.scheme
+    input_args = scheme.input_activations if scheme is not None else None
+    weights_args = scheme.weights if scheme is not None else None
+    E, C, K = x.shape
+    batched_dims = (((2,), (2,)), ((0,), (0,)))
+
+    use_int8 = (
+        qt.weight is not None
+        and qt.weight.dtype == jnp.int8
+        and qt.sparse_values is None
+        and input_args is not None
+        and input_args.dynamic is True
+        and input_args.type == "int"
+        and input_args.num_bits == 8
+        and weights_args is not None
+        and weights_args.strategy
+        in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
+    )
+    use_fp8 = (
+        qt.weight is not None
+        and str(qt.weight.dtype).startswith("float8")
+        and qt.sparse_values is None
+        and input_args is not None
+        and input_args.dynamic is True
+        and input_args.num_bits == 8
+        and input_args.type == "float"
+        and weights_args is not None
+        and weights_args.strategy
+        in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
+    )
+
+    if use_int8 or use_fp8:
+        x_scale, _ = compute_dynamic_scales_and_zp(x, input_args)  # (E, C, 1)
+        q_dtype = qt.weight.dtype
+        acc_dtype = jnp.int32 if use_int8 else jnp.float32
+        x_q = quantize(x, x_scale, None, input_args, dtype=q_dtype)
+        acc = jax.lax.dot_general(
+            x_q, qt.weight, dimension_numbers=batched_dims,
+            preferred_element_type=acc_dtype,
+        )  # (E, C, N)
+        # weight scale: (E, N, 1) channel or (E, 1) tensor -> (E, 1, N)
+        w_scale = qt.scale.astype(jnp.float32).reshape(E, 1, -1)
+        out = acc.astype(jnp.float32) * x_scale.astype(jnp.float32) * w_scale
+        return out.astype(x.dtype)
+
+    w = materialize_weight(qt, dtype=x.dtype)  # (E, N, K)
+    out_dtype = x.dtype
+    if jax.default_backend() != "tpu" and x.dtype == jnp.bfloat16:
+        # CPU XLA lacks batched bf16xbf16->f32 dot thunks
+        x, w = x.astype(jnp.float32), w.astype(jnp.float32)
+    out = jax.lax.dot_general(
+        x, w, dimension_numbers=batched_dims,
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+    if qt.bias is not None:
+        out = out + qt.bias.astype(out.dtype)[:, None, :]
+    return out
 
 
 def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:

@@ -30,13 +30,23 @@ from compressed_tensors_tpu.ops.linear import QuantizedTensor
 __all__ = ["make_mesh", "shard_llama_params", "llama_param_specs"]
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, pp: int = 1, ep: int = 1,
+              sp: int = 1, devices=None) -> Mesh:
+    """Build a device mesh with up to five parallelism axes.
+
+    Axis order (outer->inner) = (dp, pp, sp, ep, tp): tp is innermost so its
+    collectives (the per-matmul all-gathers/reduce-scatters) ride the
+    fastest ICI links; dp outermost so data-parallel traffic (none at
+    inference, gradient reductions in calibration) crosses the slowest.
+    Axes of size 1 are kept (named) so the same PartitionSpecs work for any
+    configuration.
+    """
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp
+    n = dp * pp * sp * ep * tp
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    dev_array = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(dev_array, axis_names=("dp", "tp"))
+    dev_array = np.asarray(devices[:n]).reshape(dp, pp, sp, ep, tp)
+    return Mesh(dev_array, axis_names=("dp", "pp", "sp", "ep", "tp"))
 
 
 # role -> which logical weight dim is tp-sharded (0 = out features / rows,
@@ -55,6 +65,22 @@ _ROLE_SHARD_DIM = {
 
 def _qt_specs(role: str) -> dict[str, P]:
     """PartitionSpecs for each array leaf of a QuantizedTensor by role."""
+    if role.startswith("experts."):
+        # stacked 3D expert weights: expert dim over "ep", then the same
+        # megatron split as the dense FFN over "tp"
+        dim = _ROLE_SHARD_DIM.get(role.split(".", 1)[1])
+        if dim is None:
+            return {}
+        main = P("ep", "tp", None) if dim == 0 else P("ep", None, "tp")
+        qparam = P("ep", "tp", None) if dim == 0 else P("ep", None, "tp")
+        return {
+            "weight": main,
+            "weight_packed": main,
+            "scale": qparam,
+            "zero_point": qparam,
+            "bias": P("ep", "tp") if dim == 0 else P("ep", None),
+            "g_idx": P("ep", None) if dim == 0 else P("ep", "tp"),
+        }
     dim = _ROLE_SHARD_DIM.get(role)
     if dim is None:
         return {}
@@ -86,6 +112,20 @@ def _qt_specs(role: str) -> dict[str, P]:
     return specs
 
 
+def _sanitize_spec(arr, spec: P, mesh: Mesh) -> P:
+    """Drop spec axes that don't divide the array dim (per-dim fallback, so
+    e.g. a (E, N, 1) channel scale keeps its "ep" sharding even though its
+    trailing dim can't take "tp")."""
+    out = []
+    for d, axis in enumerate(spec):
+        if axis is None or d >= arr.ndim:
+            out.append(None)
+            continue
+        size = mesh.shape[axis]
+        out.append(axis if arr.shape[d] % size == 0 else None)
+    return P(*out)
+
+
 def _shard_qt(qt: QuantizedTensor, role: str, mesh: Mesh) -> QuantizedTensor:
     specs = _qt_specs(role)
     updates = {}
@@ -93,15 +133,7 @@ def _shard_qt(qt: QuantizedTensor, role: str, mesh: Mesh) -> QuantizedTensor:
         arr = getattr(qt, fname, None)
         if arr is None:
             continue
-        # only shard when the dimension divides evenly; otherwise replicate
-        ok = True
-        for d, axis in enumerate(spec):
-            if axis is None:
-                continue
-            size = mesh.shape[axis]
-            if d >= arr.ndim or arr.shape[d] % size != 0:
-                ok = False
-        sharding = NamedSharding(mesh, spec if ok else P())
+        sharding = NamedSharding(mesh, _sanitize_spec(arr, spec, mesh))
         updates[fname] = jax.device_put(arr, sharding)
     # replicate everything not explicitly sharded
     for fname in ("weight", "weight_packed", "scale", "zero_point", "g_idx",
@@ -145,7 +177,19 @@ def shard_llama_params(params: dict, mesh: Mesh) -> dict:
     for layer in params["layers"]:
         new_layer = {}
         for key, value in layer.items():
-            if isinstance(value, QuantizedTensor):
+            if key == "moe":
+                moe = {"router": put_repl(value["router"])}
+                moe["experts"] = {
+                    name: _shard_qt(qt, f"experts.{name}", mesh)
+                    for name, qt in value["experts"].items()
+                }
+                if "shared_expert" in value:
+                    moe["shared_expert"] = {
+                        name: _shard_qt(qt, name, mesh)
+                        for name, qt in value["shared_expert"].items()
+                    }
+                new_layer[key] = moe
+            elif isinstance(value, QuantizedTensor):
                 new_layer[key] = _shard_qt(value, key, mesh)
             else:
                 new_layer[key] = put_repl(value)

@@ -83,9 +83,20 @@ def make_tiny_llama_checkpoint(
         add(f"{p}.self_attn.k_proj", (KVH * D, H))
         add(f"{p}.self_attn.v_proj", (KVH * D, H))
         add(f"{p}.self_attn.o_proj", (H, NH * D))
-        add(f"{p}.mlp.gate_proj", (I, H))
-        add(f"{p}.mlp.up_proj", (I, H))
-        add(f"{p}.mlp.down_proj", (H, I))
+        num_experts = cfg.get("num_experts", 0)
+        if num_experts:
+            Im = cfg.get("moe_intermediate_size", I)
+            extra[f"{p}.mlp.gate.weight"] = (
+                rng.normal(size=(num_experts, H)) * 0.05
+            ).astype(np.float32)
+            for j in range(num_experts):
+                add(f"{p}.mlp.experts.{j}.gate_proj", (Im, H))
+                add(f"{p}.mlp.experts.{j}.up_proj", (Im, H))
+                add(f"{p}.mlp.experts.{j}.down_proj", (H, Im))
+        else:
+            add(f"{p}.mlp.gate_proj", (I, H))
+            add(f"{p}.mlp.up_proj", (I, H))
+            add(f"{p}.mlp.down_proj", (H, I))
         extra[f"{p}.input_layernorm.weight"] = np.ones(H, dtype=np.float32)
         extra[f"{p}.post_attention_layernorm.weight"] = np.ones(
             H, dtype=np.float32
