@@ -58,7 +58,7 @@ def bench_decode(params, config, batch=64, prompt_len=16, steps=32):
             jnp.arange(input_ids.shape[1]), input_ids.shape
         )
         logits, cache = llama_forward(params, config, input_ids, positions,
-                                      cache)
+                                      cache, fresh_prefill=True)
         token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
         def body(i, carry):

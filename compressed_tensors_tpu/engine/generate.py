@@ -30,7 +30,7 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
             jnp.arange(input_ids.shape[1]), input_ids.shape
         )
         logits, cache = llama_forward(params, config, input_ids, positions,
-                                      cache)
+                                      cache, fresh_prefill=True)
         next_token = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1)
         return next_token.astype(jnp.int32), cache, logits
 

@@ -151,6 +151,7 @@ def _attention(
     cache_lens: jnp.ndarray,  # (B,) per-slot valid lengths
     config: LlamaConfig,
     positions: jnp.ndarray,  # (B, S) query positions
+    fresh_prefill: bool = False,  # static: cache is known-empty (lens all 0)
 ):
     B, S, _ = x.shape
     H = config.num_attention_heads
@@ -229,6 +230,23 @@ def _attention(
     kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, kv_v,
                                                    layer_idx, 0)
 
+    if S > 1 and fresh_prefill and _kernel_enabled():
+        # flash prefill: streams scores through VMEM instead of
+        # materializing (B, KVH, rep, S, S) f32 in HBM. Attends over the
+        # QDQ'd K/V so quantized-cache numerics match the jnp path
+        # (reference quantizes in cache.update, ref kvcache.py:65-66).
+        from compressed_tensors_tpu.ops.kernels.prefill_attention import (
+            prefill_attention,
+        )
+
+        k_a = _dequantize_from_cache(k_c, k_scale, x.dtype).transpose(
+            0, 2, 1, 3)[..., :D]
+        v_a = _dequantize_from_cache(v_c, v_scale, x.dtype).transpose(
+            0, 2, 1, 3)[..., :D]
+        out = prefill_attention(q, k_a, v_a)
+        out = out.reshape(B, S, H * D).astype(x.dtype)
+        return quantized_matmul(out, layer["o_proj"]), kv_k_all, kv_v_all
+
     keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)[..., :D]
     values = _dequantize_from_cache(kv_v, v_scale, x.dtype)[..., :D]
 
@@ -278,8 +296,14 @@ def llama_forward(
     input_ids: jnp.ndarray,      # (B, S)
     positions: jnp.ndarray,      # (B, S)
     kv_cache: Optional[KVCache] = None,
+    fresh_prefill: Optional[bool] = None,
 ):
-    """Full forward pass. Returns (logits, updated kv cache)."""
+    """Full forward pass. Returns (logits, updated kv cache).
+
+    :param fresh_prefill: static hint that every active cache slot is empty
+        (lengths 0), enabling the fused flash-prefill kernel. Defaults to
+        True when no cache is passed (one is created fresh).
+    """
     embed = params["embed_tokens"]
     if isinstance(embed, QuantizedTensor):
         embed_w = materialize_weight(embed)
@@ -290,6 +314,8 @@ def llama_forward(
     B, S = input_ids.shape
     cos, sin = _rope(positions, config.head_dim, config.rope_theta)
 
+    if fresh_prefill is None:
+        fresh_prefill = kv_cache is None
     if kv_cache is None:
         kv_cache = init_kv_cache(config, B, S, dtype=x.dtype)
     cache_lens = kv_cache.lengths
@@ -302,7 +328,7 @@ def llama_forward(
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
         attn_out, kv_k_all, kv_v_all = _attention(
             layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
-            config, positions,
+            config, positions, fresh_prefill=fresh_prefill,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)

@@ -106,7 +106,7 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool):
             zp_ref, out_ref = rest
         else:
             (out_ref,) = rest
-        ki = pl.program_id(1)
+        ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _():
@@ -161,11 +161,16 @@ def w4a16_matmul(
     tn: int = 512,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """y = x @ W^T with W packed int4. Returns (B, N) in out_dtype."""
+    """y = x @ W^T with W packed int4. Returns (B, N) in out_dtype.
+
+    Tiles all three dims: M (tokens — decode batches are one tile, prefill
+    token counts loop), N (output features), K innermost for accumulation.
+    """
     b, k_orig = x.shape
-    tb = max(8, int(np.ceil(b / 8) * 8))
-    if tb != b or k_orig != k:
-        x = jnp.pad(x, ((0, tb - b), (0, k - k_orig)))
+    tm = max(8, min(512, int(np.ceil(b / 8) * 8)))
+    b_pad = int(np.ceil(b / tm) * tm)
+    if b_pad != b or k_orig != k:
+        x = jnp.pad(x, ((0, b_pad - b), (0, k - k_orig)))
 
     tn = min(tn, int(np.ceil(n / 128) * 128))
     n_pad = int(np.ceil(n / tn) * tn)
@@ -175,21 +180,21 @@ def w4a16_matmul(
         if zp_t is not None:
             zp_t = jnp.pad(zp_t, ((0, 0), (0, n_pad - n)))
 
-    grid = (n_pad // tn, k // tk)
+    grid = (b_pad // tm, n_pad // tn, k // tk)
     wpt = tk // PLANES
 
     in_specs = [
-        pl.BlockSpec((tb, tk), lambda ni, ki: (0, ki),
+        pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((wpt, tn), lambda ni, ki: (ki, ni),
+        pl.BlockSpec((wpt, tn), lambda mi, ni, ki: (ki, ni),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((PLANES, tn), lambda ni, ki: (ki, ni),
+        pl.BlockSpec((PLANES, tn), lambda mi, ni, ki: (ki, ni),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, wp_t, scales_t]
     if zp_t is not None:
         in_specs.append(
-            pl.BlockSpec((PLANES, tn), lambda ni, ki: (ki, ni),
+            pl.BlockSpec((PLANES, tn), lambda mi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM)
         )
         args.append(zp_t)
@@ -200,12 +205,13 @@ def w4a16_matmul(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tb, tn), lambda ni, ki: (0, ni),
+        out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tb, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * tb * n_pad * k,
-            bytes_accessed=n_pad * k // 2 + tb * k * 2 + tb * n_pad * 4,
+            flops=2 * b_pad * n_pad * k,
+            bytes_accessed=n_pad * k // 2 + b_pad * k * 2
+            + b_pad * n_pad * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),

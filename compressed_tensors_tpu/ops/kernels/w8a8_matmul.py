@@ -82,11 +82,20 @@ def w8a8_matmul(
     tn: int = 512,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """y = dynamic_quant(x) @ W^T rescaled; returns (B, N)."""
+    """y = dynamic_quant(x) @ W^T rescaled; returns (B, N).
+
+    M (tokens) is tiled; K stays whole per tile because the dynamic
+    per-token scale needs the full-row absmax. The M tile adapts to K so
+    the in-kernel f32 staging copy of the x tile fits VMEM.
+    """
     b = x.shape[0]
-    tb = max(8, int(np.ceil(b / 8) * 8))
-    if tb != b:
-        x = jnp.pad(x, ((0, tb - b), (0, 0)))
+    # ~6 bytes/elem live per x element (bf16 in + f32 staged); budget ~6MB
+    tm = int(6e6 // (6 * k)) // 8 * 8
+    tm = max(8, min(512, tm))
+    tm = min(tm, max(8, int(np.ceil(b / 8) * 8)))
+    b_pad = int(np.ceil(b / tm) * tm)
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
     tn = min(tn, int(np.ceil(n / 128) * 128))
     n_pad = int(np.ceil(n / tn) * tn)
@@ -99,21 +108,21 @@ def w8a8_matmul(
 
     out = pl.pallas_call(
         _make_kernel(is_int8, q_max),
-        grid=(n_pad // tn,),
+        grid=(b_pad // tm, n_pad // tn),
         in_specs=[
-            pl.BlockSpec((tb, k), lambda ni: (0, 0),
+            pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tn), lambda ni: (0, ni),
+            pl.BlockSpec((k, tn), lambda mi, ni: (0, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda ni: (0, ni),
+            pl.BlockSpec((1, tn), lambda mi, ni: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, tn), lambda ni: (0, ni),
+        out_specs=pl.BlockSpec((tm, tn), lambda mi, ni: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tb, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * tb * n_pad * k,
-            bytes_accessed=n_pad * k + tb * k * 2 + tb * n_pad * 4,
+            flops=2 * b_pad * n_pad * k,
+            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),

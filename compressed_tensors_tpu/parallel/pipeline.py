@@ -67,7 +67,8 @@ def _stage_forward(stage_params, x, positions, config: LlamaConfig,
         layer = jax.tree.map(lambda a: a[j], stage_params)
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
         attn, kv_k, kv_v = _attention(layer, j, h, cos, sin, kv_k, kv_v,
-                                      cache_lens, config, positions)
+                                      cache_lens, config, positions,
+                                      fresh_prefill=True)
         x = x + attn
         h = rms_norm(x, layer["post_attention_layernorm"],
                      config.rms_norm_eps)
