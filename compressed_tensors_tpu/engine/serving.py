@@ -90,10 +90,10 @@ class ServingEngine:
     def _build_steps(self):
         config = self.config
 
-        @partial(jax.jit, static_argnames=("chunk",),
+        @partial(jax.jit, static_argnames=("chunk", "fresh"),
                  donate_argnames=("cache",))
         def prefill_slot(params, cache, chunk_ids, slot, start, true_len,
-                         chunk: int):
+                         chunk: int, fresh: bool = False):
             """Prefill up to `chunk` tokens of one slot starting at `start`.
 
             `chunk_ids` is padded to the static bucket size `chunk`;
@@ -115,8 +115,11 @@ class ServingEngine:
             is_slot = jnp.arange(B) == slot
             fwd_lengths = jnp.where(is_slot, start, -1).astype(jnp.int32)
             fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
+            # `fresh` (static) routes the first chunk (start == 0) through
+            # the flash-prefill kernel; continuation chunks attend over the
+            # existing prefix via the jnp path
             logits, new_cache = llama_forward(params, config, row, positions,
-                                              fwd_cache)
+                                              fwd_cache, fresh_prefill=fresh)
             new_lengths = jnp.where(is_slot, start + true_len, lengths)
             next_token = jnp.argmax(
                 logits[slot, true_len - 1, :]
@@ -192,7 +195,7 @@ class ServingEngine:
                 piece_arr = jnp.asarray(piece + [0] * pad, dtype=jnp.int32)
                 self.cache, next_token = self._prefill_slot(
                     self.params, self.cache, piece_arr, slot, start,
-                    len(piece), bucket,
+                    len(piece), bucket, start == 0,
                 )
                 start += len(piece)
             self.tokens = self.tokens.at[slot].set(next_token)

@@ -358,14 +358,25 @@ def load_llama_params(
     run_compressed: bool = True,
     dtype=jnp.bfloat16,
     device_put=None,
+    use_kernels: Optional[bool] = None,
 ) -> tuple[dict, LlamaConfig, Any]:
     """Load a compressed-tensors Llama checkpoint into a params pytree.
 
     :param run_compressed: keep weights compressed (the TPU default)
     :param device_put: optional callable(tensor, module_name, param_name)
         placing arrays (used for sharded multi-chip loading)
+    :param use_kernels: build fused-kernel weight layouts at load time
+        (default: on when running on TPU / interpret mode)
     :return: (params, config, model_compressor)
     """
+    from compressed_tensors_tpu.ops.linear import (
+        _kernel_enabled,
+        prepare_for_kernels,
+    )
+
+    if use_kernels is None:
+        use_kernels = _kernel_enabled()
+    use_kernels = use_kernels and run_compressed
     from compressed_tensors_tpu.compressors import (
         ModelCompressor,
         module_graph_from_names,
@@ -386,7 +397,7 @@ def load_llama_params(
             a = device_put(a, mod, name)
         return a
 
-    def _get_qt(mod_name: str) -> QuantizedTensor | dict:
+    def _get_qt(mod_name: str, kernels: bool | None = None) -> QuantizedTensor:
         state = {
             k: _put(v, mod_name, k)
             for k, v in reader.module_state_dict(mod_name).items()
@@ -399,6 +410,8 @@ def load_llama_params(
         if qt.weight is not None and np.dtype(qt.weight.dtype).kind == "f" and \
                 not str(qt.weight.dtype).startswith("float8"):
             qt = dataclasses.replace(qt, weight=qt.weight.astype(dtype))
+        if kernels if kernels is not None else use_kernels:
+            qt = prepare_for_kernels(qt)
         return qt
 
     params: dict = {"layers": []}
@@ -427,9 +440,12 @@ def load_llama_params(
                 if m.startswith(f"{base}.{exp}.")
                 and m.endswith(f".{src_names[0]}")
             )
+            # experts stay in checkpoint layout (the batched expert matmul
+            # consumes the 3D leaves directly; 2D kernel layouts don't stack)
             experts = {
                 dst: stack_quantized_tensors([
-                    _get_qt(f"{base}.{exp}.{j}.{src}") for j in range(E)
+                    _get_qt(f"{base}.{exp}.{j}.{src}", kernels=False)
+                    for j in range(E)
                 ])
                 for src, dst in zip(src_names, dst_names)
             }

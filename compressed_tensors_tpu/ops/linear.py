@@ -259,6 +259,42 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
     weights_args = qt.scheme.weights if qt.scheme is not None else None
     input_args = qt.scheme.input_activations if qt.scheme is not None else None
 
+    # ---- 2:4 sparse stacked over symmetric int quant (BASELINE config 4):
+    # scatter the quantized values dense at load time and ride the dense
+    # fused kernels. The TPU MXU has no structured-sparse mode, so the 2:4
+    # win is storage/IO; at runtime the scattered zeros are q=0, which
+    # dequantize to exactly 0 under a symmetric scheme. The sparse leaves
+    # are dropped once the kernel layout is built (the kernel is the
+    # runtime representation; serialization uses the checkpoint state).
+    if (
+        qt.sparse_values is not None
+        and weights_args is not None
+        and weights_args.type == "int"
+        and weights_args.symmetric
+        and len(qt.shape) == 2
+    ):
+        from compressed_tensors_tpu.ops.bitmask import sparse24_decompress
+        from compressed_tensors_tpu.ops.pack import pack_to_int32
+
+        dense_q = sparse24_decompress(qt.sparse_values, qt.sparse_bitmask,
+                                      qt.shape)
+        if weights_args.num_bits == 4:
+            dense_qt = dataclasses.replace(
+                qt, sparse_values=None, sparse_bitmask=None, weight=None,
+                weight_packed=pack_to_int32(dense_q.astype(jnp.int8), 4),
+                format=CompressionFormat.pack_quantized.value,
+            )
+        else:
+            dense_qt = dataclasses.replace(
+                qt, sparse_values=None, sparse_bitmask=None,
+                weight=dense_q.astype(jnp.int8), weight_packed=None,
+                format=CompressionFormat.int_quantized.value,
+            )
+        prepped = prepare_for_kernels(dense_qt)
+        if prepped.kernel_packed is not None:
+            return prepped
+        return qt
+
     # ---- W8A8 (int8 / fp8) fused act-quant matmul ---------------------- #
     if (
         qt.weight is not None

@@ -96,6 +96,25 @@ def test_w4a16_run_compressed_matches_decompressed(rng, tmp_path):
     np.testing.assert_allclose(lc, ld, atol=2e-3, rtol=1e-2)
 
 
+def test_load_with_fused_kernels_matches(rng, tmp_path, monkeypatch):
+    """use_kernels=True at load (interpret mode): the fused-kernel layouts
+    built by the loader must produce the same logits as the XLA path."""
+    monkeypatch.setenv("CT_TPU_PALLAS_INTERPRET", "1")
+    save_dir, _ = make_tiny_llama_checkpoint(tmp_path, rng, W4A16_G32)
+    params_k, config, _ = load_llama_params(save_dir, run_compressed=True,
+                                            dtype=jnp.float32,
+                                            use_kernels=True)
+    params_x, _, _ = load_llama_params(save_dir, run_compressed=True,
+                                       dtype=jnp.float32, use_kernels=False)
+    assert params_k["layers"][0]["q_proj"].kernel_packed is not None
+    assert params_x["layers"][0]["q_proj"].kernel_packed is None
+
+    ids = rng.integers(0, config.vocab_size, size=(2, 8))
+    lk = _forward_logits(params_k, config, ids)
+    lx = _forward_logits(params_x, config, ids)
+    np.testing.assert_allclose(lk, lx, atol=2e-3, rtol=1e-2)
+
+
 @pytest.mark.parametrize("qconfig", [W8A8_INT, FP8_DYN],
                          ids=["w8a8-int", "fp8-dynamic"])
 def test_quantized_act_paths_run(rng, tmp_path, qconfig):
