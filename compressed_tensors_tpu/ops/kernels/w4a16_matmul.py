@@ -100,7 +100,12 @@ def repack_w4_for_kernel(
     return jax.lax.bitcast_convert_type(words, jnp.int32).reshape(k // 8, n)
 
 
-def _make_kernel(tk: int, group_size: int, has_zp: bool):
+def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
+    """mode "int4": offset-unsigned nibbles + rank-1 affine correction.
+    mode "fp4": E2M1 codes decoded in-register (sign/exp/mantissa selects,
+    LUT 0,.5,1,1.5,2,3,4,6 — ref nvfp4/helpers.py KE2M1_TO_FLOAT) and a
+    plain per-group scale multiply (no zero points in fp4 formats)."""
+
     def kernel(x_ref, wp_ref, scale_ref, *rest):
         if has_zp:
             zp_ref, out_ref = rest
@@ -116,20 +121,52 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool):
         x = x_ref[:]  # (TB, TK)
         compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
+        if mode == "fp4":
+            # decode every plane, stack to the full (TK, TN) weight tile,
+            # scale rows per group, then ONE full-depth MXU dot. (The int4
+            # plane-per-group trick would shrink the dots to depth
+            # group_size — 16 for nvfp4 — starving the MXU.)
+            rows = []
+            for j in range(PLANES):
+                code = ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF)).astype(
+                    jnp.int32
+                )
+                e = (code >> 1) & 3
+                mm = (code & 1).astype(jnp.float32)
+                mag = jnp.where(
+                    e == 0, 0.5 * mm,
+                    jnp.where(e == 1, 1.0 + 0.5 * mm,
+                              jnp.where(e == 2, 2.0 + mm, 4.0 + 2.0 * mm)),
+                )
+                rows.append(jnp.where(code >= 8, -mag, mag))
+            v = jnp.concatenate(rows, axis=0)           # (TK, TN) f32
+            s = scale_ref[:].astype(jnp.float32)        # (TK/g, TN)
+            gpt, tn_blk = s.shape
+            sb = jnp.broadcast_to(
+                s[:, None, :], (gpt, group_size, tn_blk)
+            ).reshape(tk, tn_blk)
+            w = (v * sb).astype(compute)
+            out_ref[:] += jax.lax.dot_general(
+                x.astype(compute), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
         acc = None
         for j in range(PLANES):
-            u_j = (
-                ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF))
-                .astype(jnp.int32)
-                .astype(compute)
+            code_j = ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF)).astype(
+                jnp.int32
             )
             x_j = x[:, j * group_size : (j + 1) * group_size]  # (TB, g)
+            s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
+
+            u_j = code_j.astype(compute)
             partial = jax.lax.dot_general(
                 x_j.astype(compute), u_j,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (TB, TN)
-            s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
             sum_xj = jnp.sum(
                 x_j.astype(jnp.float32), axis=1, keepdims=True
             )  # (TB, 1)
@@ -147,7 +184,8 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "k", "group_size", "tk", "tn", "out_dtype"),
+    static_argnames=("n", "k", "group_size", "tk", "tn", "out_dtype",
+                     "mode"),
 )
 def w4a16_matmul(
     x: jnp.ndarray,            # (B, K_orig) activations
@@ -160,6 +198,7 @@ def w4a16_matmul(
     tk: int,
     tn: int = 512,
     out_dtype=jnp.bfloat16,
+    mode: str = "int4",
 ) -> jnp.ndarray:
     """y = x @ W^T with W packed int4. Returns (B, N) in out_dtype.
 
@@ -183,12 +222,15 @@ def w4a16_matmul(
     grid = (b_pad // tm, n_pad // tn, k // tk)
     wpt = tk // PLANES
 
+    # int4 retiled scales have 8 rows (one group per plane) per k-tile;
+    # fp4 scales stay in k-order with tk/group_size rows per k-tile
+    scale_rows = PLANES if mode == "int4" else tk // group_size
     in_specs = [
         pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((wpt, tn), lambda mi, ni, ki: (ki, ni),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((PLANES, tn), lambda mi, ni, ki: (ki, ni),
+        pl.BlockSpec((scale_rows, tn), lambda mi, ni, ki: (ki, ni),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, wp_t, scales_t]
@@ -199,7 +241,7 @@ def w4a16_matmul(
         )
         args.append(zp_t)
 
-    kernel = _make_kernel(tk, group_size, zp_t is not None)
+    kernel = _make_kernel(tk, group_size, zp_t is not None, mode)
 
     out = pl.pallas_call(
         kernel,

@@ -110,22 +110,6 @@ def from_compressed_state(
     weight = state.get("weight")
     weight_packed = state.get("weight_packed")
 
-    if "weight_shape" in state:
-        shape = tuple(int(v) for v in np.asarray(state["weight_shape"]))
-    elif sparse_shape is not None:
-        shape = tuple(int(v) for v in np.asarray(sparse_shape))
-    elif weight is not None:
-        shape = tuple(weight.shape)
-    elif weight_packed is not None and fmt in (
-        CompressionFormat.nvfp4_pack_quantized.value,
-        CompressionFormat.mxfp4_pack_quantized.value,
-    ):
-        shape = (weight_packed.shape[0], weight_packed.shape[1] * 2)
-    elif weight_packed is not None:
-        shape = tuple(weight_packed.shape)
-    else:
-        shape = ()
-
     if fmt is None:
         if weight_packed is not None:
             fmt = (
@@ -140,6 +124,22 @@ def from_compressed_state(
             fmt = CompressionFormat.naive_quantized.value
         else:
             fmt = CompressionFormat.dense.value
+
+    if "weight_shape" in state:
+        shape = tuple(int(v) for v in np.asarray(state["weight_shape"]))
+    elif sparse_shape is not None:
+        shape = tuple(int(v) for v in np.asarray(sparse_shape))
+    elif weight is not None:
+        shape = tuple(weight.shape)
+    elif weight_packed is not None and fmt in (
+        CompressionFormat.nvfp4_pack_quantized.value,
+        CompressionFormat.mxfp4_pack_quantized.value,
+    ):
+        shape = (*weight_packed.shape[:-1], weight_packed.shape[-1] * 2)
+    elif weight_packed is not None:
+        shape = tuple(weight_packed.shape)
+    else:
+        shape = ()
 
     return QuantizedTensor(
         weight=weight,
@@ -322,6 +322,61 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             kernel_packed=prepare_w8_weight(qt.weight),
             kernel_scales=w_scale,
             kernel_meta=("w8a8", n, k),
+        )
+
+    # ---- NVFP4 / MXFP4 fused dequant matmul ---------------------------- #
+    if (
+        qt.format in (
+            CompressionFormat.nvfp4_pack_quantized.value,
+            CompressionFormat.mxfp4_pack_quantized.value,
+        )
+        and weights_args is not None
+        and weights_args.num_bits == 4
+        and weights_args.strategy in (QuantizationStrategy.GROUP.value,
+                                      QuantizationStrategy.TENSOR_GROUP.value)
+        and len(qt.shape) == 2
+        and qt.weight_packed is not None
+        and qt.shape[1] % (weights_args.group_size or 1) == 0
+    ):
+        from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+            repack_w4_for_kernel,
+        )
+
+        n, k = qt.shape
+        group_size = weights_args.group_size  # 16 (nvfp4) / 32 (mxfp4)
+        # the fp4 kernel does one full-depth dot per k-tile: deepen TK up
+        # to 512 in multiples of 8*group_size (so nibble planes cover
+        # whole groups)
+        tk = 8 * group_size
+        while tk * 2 <= min(512, k):
+            tk *= 2
+        k_pad = int(np.ceil(k / tk) * tk)
+
+        wp = qt.weight_packed  # (N, K/2) uint8, low nibble first
+        low = (wp & 0x0F).astype(jnp.int32)
+        high = (wp >> 4).astype(jnp.int32)
+        codes = jnp.stack([low, high], axis=-1).reshape(n, k)
+        if k_pad != k:
+            # code 0 decodes to +0.0: padded columns contribute exactly 0
+            codes = jnp.pad(codes, ((0, 0), (0, k_pad - k)))
+        kernel_packed = repack_w4_for_kernel(codes, 4, k_pad, tk)
+
+        scale = qt.scale
+        if scale.dtype == jnp.uint8:  # MX E8M0
+            scale = decompress_mx_scale(scale)
+        scale = scale.astype(jnp.float32)
+        if qt.global_scale is not None:
+            scale = scale / qt.global_scale.astype(jnp.float32).reshape(())
+        scales = scale.T  # (K/g, N), k-order (no plane retiling for fp4)
+        g_pad = k_pad // group_size - scales.shape[0]
+        if g_pad:
+            scales = jnp.pad(scales, ((0, g_pad), (0, 0)))
+
+        return dataclasses.replace(
+            qt,
+            kernel_packed=kernel_packed,
+            kernel_scales=scales,
+            kernel_meta=("fp4", n, k, k_pad, group_size, tk),
         )
 
     # ---- W4A16 fused dequant matmul ------------------------------------ #
@@ -578,6 +633,7 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
                 qt.kernel_zp,
                 n=n, k=k_pad, group_size=group_size, tk=tk,
                 out_dtype=x.dtype,
+                mode="fp4" if kind == "fp4" else "int4",
             ).reshape(*lead, n)
     elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)
