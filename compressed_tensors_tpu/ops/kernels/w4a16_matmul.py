@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "repack_w4_for_kernel",
     "w4a16_matmul",
+    "w4_e8_matmul",
     "choose_k_tile",
     "retile_groups",
     "rows_per_tile",
@@ -180,6 +181,95 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
         out_ref[:] += acc
 
     return kernel
+
+
+def _make_e8_kernel(tk: int, group_size: int):
+    """int8-expanded W4A16: weights stored signed int8 (u-8 pre-applied) in
+    k-major (K, N); per group one depth-`group_size` MXU dot, scale applied
+    to the (TB, TN) output tile. Decode is a single int8->bf16 convert per
+    element — ~3x less VPU work than in-kernel nibble extraction, for 2x
+    the HBM bytes (still 2x under bf16). The right trade when decode is
+    VPU-bound and HBM has headroom (v5e decode batches)."""
+    gpt = tk // group_size
+
+    def kernel(x_ref, w_ref, scale_ref, out_ref):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x = x_ref[:]
+        compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        w = w_ref[:]  # (TK, TN) int8
+        acc = None
+        for j in range(gpt):
+            sl = slice(j * group_size, (j + 1) * group_size)
+            partial = jax.lax.dot_general(
+                x[:, sl].astype(compute), w[sl, :].astype(compute),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_j = scale_ref[j, :].astype(jnp.float32)
+            term = partial * s_j[None, :]
+            acc = term if acc is None else acc + term
+        out_ref[:] += acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k", "group_size", "tk", "tn", "out_dtype"),
+)
+def w4_e8_matmul(
+    x: jnp.ndarray,            # (B, K_orig)
+    w8_t: jnp.ndarray,         # (K_pad, N) int8, signed q values
+    scales_t: jnp.ndarray,     # (K_pad/g, N) f32, k-order
+    n: int,
+    k: int,                    # K_pad
+    group_size: int,
+    tk: int,
+    tn: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """y = x @ (s * q)^T with q int8-expanded 4-bit values."""
+    b, k_orig = x.shape
+    tm = max(8, min(512, int(np.ceil(b / 8) * 8)))
+    b_pad = int(np.ceil(b / tm) * tm)
+    if b_pad != b or k_orig != k:
+        x = jnp.pad(x, ((0, b_pad - b), (0, k - k_orig)))
+
+    tn = min(tn, int(np.ceil(n / 128) * 128))
+    n_pad = int(np.ceil(n / tn) * tn)
+    if n_pad != n:
+        w8_t = jnp.pad(w8_t, ((0, 0), (0, n_pad - n)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
+
+    grid = (b_pad // tm, n_pad // tn, k // tk)
+    gpt = tk // group_size
+    out = pl.pallas_call(
+        _make_e8_kernel(tk, group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda mi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, tn), lambda mi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * k,
+            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, w8_t, scales_t)
+    return out[:b, :n].astype(out_dtype)
 
 
 @functools.partial(

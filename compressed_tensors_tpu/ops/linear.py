@@ -399,6 +399,31 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
         return qt
 
     unpacked = unpack_from_int32(qt.weight_packed, 4, qt.shape)  # int8
+
+    # layout choice: "e8" expands to signed int8 k-major (1 convert/elem in
+    # the kernel instead of nibble extraction — decode is VPU-bound on v5e)
+    # at 2x the packed HBM bytes; "packed" keeps int4-in-int32. Symmetric
+    # schemes only (e8 has no zero-point path).
+    import os as _os
+
+    layout = _os.environ.get("CT_TPU_W4_LAYOUT", "auto")
+    if layout == "auto":
+        layout = "e8" if qt.zero_point is None else "packed"
+    if layout == "e8" and qt.zero_point is None:
+        w8 = unpacked.astype(jnp.int8).T  # (K, N) signed q
+        if k_pad != k:
+            w8 = jnp.pad(w8, ((0, k_pad - k), (0, 0)))
+        scales = qt.scale.astype(jnp.float32).T  # (K/g, N)
+        g_pad = k_pad // group_size - scales.shape[0]
+        if g_pad:
+            scales = jnp.pad(scales, ((0, g_pad), (0, 0)))
+        return dataclasses.replace(
+            qt,
+            kernel_packed=w8,
+            kernel_scales=scales,
+            kernel_meta=("w4e8", n, k, k_pad, group_size, tk),
+        )
+
     u = unpacked.astype(jnp.int32) + 8
     if k_pad != k:
         # padded k-positions: u=8 (q=0) and scale=0 -> contribute exactly 0
@@ -621,6 +646,17 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
             out = w8a8_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 n=n, k=k, out_dtype=x.dtype,
+            ).reshape(*lead, n)
+        elif qt.kernel_meta[0] == "w4e8":
+            from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+                w4_e8_matmul,
+            )
+
+            kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+            out = w4_e8_matmul(
+                x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
+                n=n, k=k_pad, group_size=group_size, tk=tk,
+                out_dtype=x.dtype,
             ).reshape(*lead, n)
         else:
             from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
