@@ -40,35 +40,41 @@ LLAMA3_8B = LlamaConfig(
 )
 
 
-def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
+def _synthetic_qt(rng: np.random.Generator, shape,
+                  scheme: QuantizationScheme, dtype,
                   use_kernels: bool) -> QuantizedTensor:
     """Random packed weight for `shape`; leading dims (3D stacked MoE
     experts, the reference's slice-wise layout) are supported for the
-    pack/int/float formats."""
+    pack/int/float formats.
+
+    Generation happens on host (numpy) — one `jax.random` dispatch per
+    tensor means one XLA compile per distinct shape, which dominates
+    build time on a remote chip; a host draw + single transfer is ~200x
+    faster there.
+    """
     *lead, n, k = shape
     args = scheme.weights
     if args is None:
-        w = (jax.random.normal(key, shape, dtype=jnp.float32) * 0.02).astype(
-            dtype
+        w = jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32) * 0.02, dtype=dtype
         )
         return QuantizedTensor(weight=w, shape=shape, scheme=scheme,
                                format=CompressionFormat.dense.value)
 
     fmt = scheme.format or CompressionFormat.pack_quantized.value
     fmt = CompressionFormat(fmt).value
-    k1, k2 = jax.random.split(key)
 
     if fmt == CompressionFormat.pack_quantized.value:
         g = args.group_size or k
         pc = packed_cols(k, args.num_bits)
-        packed = jax.random.randint(
-            k1, (*lead, n, pc), minval=-(2**31), maxval=2**31 - 1,
-            dtype=jnp.int32
+        packed = jnp.asarray(
+            rng.integers(-(2**31), 2**31 - 1, size=(*lead, n, pc),
+                         dtype=np.int64).astype(np.int32)
         )
-        scale = (
-            jax.random.uniform(k2, (*lead, n, k // g), dtype=jnp.float32)
-            * 0.002 + 0.001
-        ).astype(jnp.bfloat16)
+        scale = jnp.asarray(
+            rng.uniform(size=(*lead, n, k // g)).astype(np.float32)
+            * 0.002 + 0.001, dtype=jnp.bfloat16,
+        )
         qt = QuantizedTensor(
             weight_packed=packed, scale=scale, shape=shape, scheme=scheme,
             format=fmt,
@@ -77,12 +83,13 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
 
     if fmt in (CompressionFormat.int_quantized.value,
                CompressionFormat.naive_quantized.value):
-        wq = jax.random.randint(k1, shape, -127, 128, dtype=jnp.int32).astype(
-            jnp.int8
+        wq = jnp.asarray(
+            rng.integers(-127, 128, size=shape, dtype=np.int64).astype(
+                np.int8
+            )
         )
-        scale = (
-            jax.random.uniform(k2, (*lead, n, 1), dtype=jnp.float32) * 2e-4
-            + 1e-4
+        scale = jnp.asarray(
+            rng.uniform(size=(*lead, n, 1)).astype(np.float32) * 2e-4 + 1e-4
         )
         qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
                              scheme=scheme, format=fmt)
@@ -91,12 +98,13 @@ def _synthetic_qt(key, shape, scheme: QuantizationScheme, dtype,
     if fmt == CompressionFormat.float_quantized.value:
         import ml_dtypes
 
-        wq = (jax.random.normal(k1, shape, dtype=jnp.float32) * 100).astype(
-            jnp.dtype(ml_dtypes.float8_e4m3fn)
+        wq = jnp.asarray(
+            (rng.standard_normal(shape, dtype=np.float32) * 100).astype(
+                ml_dtypes.float8_e4m3fn
+            )
         )
-        scale = (
-            jax.random.uniform(k2, (*lead, n, 1), dtype=jnp.float32) * 2e-4
-            + 1e-4
+        scale = jnp.asarray(
+            rng.uniform(size=(*lead, n, 1)).astype(np.float32) * 2e-4 + 1e-4
         )
         qt = QuantizedTensor(weight=wq, scale=scale, shape=shape,
                              scheme=scheme, format=fmt)
@@ -124,13 +132,12 @@ def make_synthetic_llama(
                   config.head_dim)
     V = config.vocab_size
 
-    key = jax.random.PRNGKey(seed)
-    keys = iter(jax.random.split(key, config.num_hidden_layers * 12 + 3))
+    rng = np.random.default_rng(seed)
 
     params: dict = {
-        "embed_tokens": (
-            jax.random.normal(next(keys), (V, H), dtype=jnp.float32) * 0.02
-        ).astype(dtype),
+        "embed_tokens": jnp.asarray(
+            rng.standard_normal((V, H), dtype=np.float32) * 0.02, dtype=dtype
+        ),
         "norm": jnp.ones((H,), dtype=dtype),
         "layers": [],
     }
@@ -140,13 +147,13 @@ def make_synthetic_llama(
                 else preset)
         scheme = preset_name_to_scheme(name, ["Linear"])
         layer = {
-            "q_proj": _synthetic_qt(next(keys), (NH * D, H), scheme, dtype,
+            "q_proj": _synthetic_qt(rng, (NH * D, H), scheme, dtype,
                                     use_kernels),
-            "k_proj": _synthetic_qt(next(keys), (KVH * D, H), scheme, dtype,
+            "k_proj": _synthetic_qt(rng, (KVH * D, H), scheme, dtype,
                                     use_kernels),
-            "v_proj": _synthetic_qt(next(keys), (KVH * D, H), scheme, dtype,
+            "v_proj": _synthetic_qt(rng, (KVH * D, H), scheme, dtype,
                                     use_kernels),
-            "o_proj": _synthetic_qt(next(keys), (H, NH * D), scheme, dtype,
+            "o_proj": _synthetic_qt(rng, (H, NH * D), scheme, dtype,
                                     use_kernels),
             "input_layernorm": jnp.ones((H,), dtype=dtype),
             "post_attention_layernorm": jnp.ones((H,), dtype=dtype),
@@ -155,36 +162,36 @@ def make_synthetic_llama(
             E = config.num_local_experts
             Im = config.moe_intermediate_size or I
             moe: dict = {
-                "router": (
-                    jax.random.normal(next(keys), (E, H), dtype=jnp.float32)
-                    * 0.02
-                ).astype(dtype),
+                "router": jnp.asarray(
+                    rng.standard_normal((E, H), dtype=np.float32) * 0.02,
+                    dtype=dtype,
+                ),
                 "experts": {
-                    "gate_proj": _synthetic_qt(next(keys), (E, Im, H),
+                    "gate_proj": _synthetic_qt(rng, (E, Im, H),
                                                scheme, dtype, use_kernels),
-                    "up_proj": _synthetic_qt(next(keys), (E, Im, H),
+                    "up_proj": _synthetic_qt(rng, (E, Im, H),
                                              scheme, dtype, use_kernels),
-                    "down_proj": _synthetic_qt(next(keys), (E, H, Im),
+                    "down_proj": _synthetic_qt(rng, (E, H, Im),
                                                scheme, dtype, use_kernels),
                 },
             }
             Is = config.shared_expert_intermediate_size
             if Is:
                 moe["shared_expert"] = {
-                    "gate_proj": _synthetic_qt(next(keys), (Is, H), scheme,
+                    "gate_proj": _synthetic_qt(rng, (Is, H), scheme,
                                                dtype, use_kernels),
-                    "up_proj": _synthetic_qt(next(keys), (Is, H), scheme,
+                    "up_proj": _synthetic_qt(rng, (Is, H), scheme,
                                              dtype, use_kernels),
-                    "down_proj": _synthetic_qt(next(keys), (H, Is), scheme,
+                    "down_proj": _synthetic_qt(rng, (H, Is), scheme,
                                                dtype, use_kernels),
                 }
             layer["moe"] = moe
         else:
-            layer["gate_proj"] = _synthetic_qt(next(keys), (I, H), scheme,
+            layer["gate_proj"] = _synthetic_qt(rng, (I, H), scheme,
                                                dtype, use_kernels)
-            layer["up_proj"] = _synthetic_qt(next(keys), (I, H), scheme,
+            layer["up_proj"] = _synthetic_qt(rng, (I, H), scheme,
                                              dtype, use_kernels)
-            layer["down_proj"] = _synthetic_qt(next(keys), (H, I), scheme,
+            layer["down_proj"] = _synthetic_qt(rng, (H, I), scheme,
                                                dtype, use_kernels)
         params["layers"].append(layer)
 
