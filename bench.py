@@ -93,7 +93,11 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    batch, steps = 64, 32
+    # steps amortizes the fixed per-dispatch host overhead (~tens of ms
+    # through the remote-TPU tunnel) that is not part of steady-state
+    # decode; both the compressed and the dense-baseline run pay it
+    # identically either way.
+    batch, steps = 64, 128
 
     params, config = build("W4A16", use_kernels=(backend == "tpu"))
     tps, dt = bench_decode(params, config, batch=batch, steps=steps)

@@ -77,9 +77,10 @@ def init_kv_cache(
     cache_dtype=None,
 ) -> KVCache:
     cd = cache_dtype or dtype
-    # sublane-tile alignment: 8 rows for 2-byte dtypes, 32 for fp8/int8
-    # (the decode kernel writes back tile-aligned row spans)
-    align = 32 if jnp.dtype(cd).itemsize == 1 else 8
+    # align to the flash-decode chunk size (also covers the 8/32-row
+    # write-back tile alignment); the flash kernel's per-row cost is
+    # O(length), so allocation slack costs only empty grid steps
+    align = 64
     s_pad = int(np.ceil(max_len / align) * align)
     shape = (config.num_hidden_layers, batch, config.num_key_value_heads,
              s_pad, padded_head_dim(config.head_dim))
@@ -192,19 +193,44 @@ def _attention(
     Dp = kv_k_all.shape[-1]  # lane-padded head dim (cache layout)
 
     if S == 1 and _kernel_enabled() and (k_scale is None) == (v_scale is None):
-        from compressed_tensors_tpu.ops.kernels.decode_attention import (
-            decode_attention,
-        )
+        import os as _os
 
-        pad = [(0, 0)] * 3 + [(0, Dp - D)]
-        out, ck, cv = decode_attention(
-            jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
-            jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
-            jnp.pad(v, pad)[:, 0],
-            kv_k_all, kv_v_all, cache_lens,
-            kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
-            k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+        # kernel choice: the block kernel auto-pipelines the whole allocated
+        # cache row (best when the allocation is small/tight); the flash
+        # kernel touches O(current length) chunks (wins when the allocation
+        # is serving-scale, i.e. much larger than typical lengths)
+        s_max = kv_k_all.shape[3]
+        attn_sel = _os.environ.get("CT_TPU_DECODE_ATTN", "auto")
+        use_flash = s_max % 64 == 0 and (
+            attn_sel == "flash" or (attn_sel == "auto" and s_max >= 512)
         )
+        pad = [(0, 0)] * 3 + [(0, Dp - D)]
+        if use_flash:
+            from compressed_tensors_tpu.ops.kernels.flash_decode import (
+                flash_decode_attention,
+            )
+
+            out, ck, cv = flash_decode_attention(
+                jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
+                jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
+                jnp.pad(v, pad)[:, 0],
+                kv_k_all, kv_v_all, cache_lens,
+                kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
+                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+            )
+        else:
+            from compressed_tensors_tpu.ops.kernels.decode_attention import (
+                decode_attention,
+            )
+
+            out, ck, cv = decode_attention(
+                jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
+                jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
+                jnp.pad(v, pad)[:, 0],
+                kv_k_all, kv_v_all, cache_lens,
+                kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
+                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+            )
         out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
         return quantized_matmul(out, layer["o_proj"]), ck, cv
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,8 +67,8 @@ def _synthetic_qt(rng: np.random.Generator, shape,
         g = args.group_size or k
         pc = packed_cols(k, args.num_bits)
         packed = jnp.asarray(
-            rng.integers(-(2**31), 2**31 - 1, size=(*lead, n, pc),
-                         dtype=np.int64).astype(np.int32)
+            rng.integers(-(2**31), 2**31, size=(*lead, n, pc),
+                         dtype=np.int32)
         )
         scale = jnp.asarray(
             rng.uniform(size=(*lead, n, k // g)).astype(np.float32)
@@ -84,9 +83,7 @@ def _synthetic_qt(rng: np.random.Generator, shape,
     if fmt in (CompressionFormat.int_quantized.value,
                CompressionFormat.naive_quantized.value):
         wq = jnp.asarray(
-            rng.integers(-127, 128, size=shape, dtype=np.int64).astype(
-                np.int8
-            )
+            rng.integers(-127, 128, size=shape, dtype=np.int8)
         )
         scale = jnp.asarray(
             rng.uniform(size=(*lead, n, 1)).astype(np.float32) * 2e-4 + 1e-4

@@ -154,6 +154,32 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
             )
             return
 
+        if mode == "mat":
+            # materialize the dequantized (TK, TN) weight tile in-register
+            # and run ONE full-depth MXU dot. At decode batches (B < 128
+            # rows) the MXU is row-underutilized, so many shallow
+            # depth-`group_size` dots are fill/drain-bound; one deep dot
+            # amortizes the pipeline ~8x. VPU cost: shift+mask+convert+
+            # mul+sub = ~5 ops/elem on the packed bytes.
+            rows = []
+            for j in range(PLANES):
+                code_j = ((uw >> jnp.uint32(4 * j))
+                          & jnp.uint32(0xF)).astype(jnp.int32)
+                s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
+                if has_zp:
+                    b_j = (rest[0][j, :].astype(jnp.float32) + 8.0) * s_j
+                else:
+                    b_j = 8.0 * s_j
+                w_j = code_j.astype(jnp.float32) * s_j[None, :] - b_j[None, :]
+                rows.append(w_j.astype(compute))
+            w = jnp.concatenate(rows, axis=0)  # (TK, TN)
+            out_ref[:] += jax.lax.dot_general(
+                x.astype(compute), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
         acc = None
         for j in range(PLANES):
             code_j = ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF)).astype(
@@ -312,9 +338,9 @@ def w4a16_matmul(
     grid = (b_pad // tm, n_pad // tn, k // tk)
     wpt = tk // PLANES
 
-    # int4 retiled scales have 8 rows (one group per plane) per k-tile;
+    # int4/mat retiled scales have 8 rows (one group per plane) per k-tile;
     # fp4 scales stay in k-order with tk/group_size rows per k-tile
-    scale_rows = PLANES if mode == "int4" else tk // group_size
+    scale_rows = tk // group_size if mode == "fp4" else PLANES
     in_specs = [
         pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
                      memory_space=pltpu.VMEM),

@@ -663,13 +663,16 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
                 w4a16_matmul,
             )
 
+            import os as _os
+
             kind, n, k, k_pad, group_size, tk = qt.kernel_meta
             out = w4a16_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 qt.kernel_zp,
                 n=n, k=k_pad, group_size=group_size, tk=tk,
                 out_dtype=x.dtype,
-                mode="fp4" if kind == "fp4" else "int4",
+                mode="fp4" if kind == "fp4"
+                else _os.environ.get("CT_TPU_W4_MODE", "int4"),
             ).reshape(*lead, n)
     elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)

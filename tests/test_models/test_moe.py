@@ -88,7 +88,7 @@ def test_quantized_matmul_experts_w4a16():
     scheme = preset_name_to_scheme("W4A16", ["Linear"])
     from compressed_tensors_tpu.models.synthetic import _synthetic_qt
 
-    qt = _synthetic_qt(jax.random.PRNGKey(0), (4, 128, 128), scheme,
+    qt = _synthetic_qt(np.random.default_rng(0), (4, 128, 128), scheme,
                        jnp.float32, use_kernels=False)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 128),
                           dtype=jnp.float32)
