@@ -31,6 +31,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     max_position_embeddings: int = 2048
     tie_word_embeddings: bool = False
+    attention_bias: bool = False   # qkv-projection bias (Qwen2 family)
+    qk_norm: bool = False          # per-head q/k RMSNorm (Qwen3 family)
 
     # MoE (0 experts -> dense MLP everywhere)
     num_local_experts: int = 0
@@ -64,6 +66,7 @@ class LlamaConfig:
             or (d.get("intermediate_size") if num_experts else 0)  # mixtral
             or 0
         )
+        model_type = d.get("model_type", "llama")
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -77,6 +80,13 @@ class LlamaConfig:
             rope_theta=d.get("rope_theta", 10000.0),
             max_position_embeddings=d.get("max_position_embeddings", 2048),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            attention_bias=d.get(
+                "attention_bias",
+                # Qwen2 applies qkv bias unconditionally (no config flag)
+                model_type in ("qwen2", "qwen2_moe"),
+            ),
+            # Qwen3 applies per-head q/k RMSNorm unconditionally
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
             num_local_experts=num_experts,
             num_experts_per_tok=(
                 d.get("num_experts_per_tok") or d.get("top_k") or 2

@@ -170,6 +170,12 @@ def _attention(
         k = quantized_matmul(x, layer["k_proj"]).reshape(B, S, KVH, D)
         v = quantized_matmul(x, layer["v_proj"]).reshape(B, S, KVH, D)
 
+    # Qwen3-style per-head q/k RMSNorm (over head_dim, before RoPE)
+    if "q_norm" in layer:
+        q = rms_norm(q, layer["q_norm"], config.rms_norm_eps)
+    if "k_norm" in layer:
+        k = rms_norm(k, layer["k_norm"], config.rms_norm_eps)
+
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
@@ -516,6 +522,13 @@ def load_llama_params(
         for sname in ("k_scale", "v_scale", "q_scale"):
             if sname in attn_state:
                 layer[sname] = _put(attn_state[sname], prefix, sname)
+        # Qwen3-style per-head q/k norms
+        for nname in ("q_norm", "k_norm"):
+            full = f"{prefix}.self_attn.{nname}.weight"
+            if full in reader.tensor_names():
+                layer[nname] = _put(reader.get(full), prefix, nname).astype(
+                    dtype
+                )
         params["layers"].append(layer)
 
     params["norm"] = _put(reader.get("model.norm.weight"), "model.norm",

@@ -55,6 +55,10 @@ def fuse_quantized_tensors(
     if any(t.g_idx is not None or t.sparse_values is not None
            for t in tensors):
         return None
+    # mixed bias presence would silently drop the present biases
+    has_bias = [t.bias is not None for t in tensors]
+    if any(has_bias) and not all(has_bias):
+        return None
 
     n_total = sum(t.shape[0] for t in tensors)
     shape = (n_total, first.shape[1])

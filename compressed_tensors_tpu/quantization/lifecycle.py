@@ -52,7 +52,27 @@ __all__ = [
     "quantized_module_forward",
     "compress_quantized_weights",
     "expected_qparam_shapes",
+    "enable_quantization",
+    "disable_quantization",
+    "quantization_enabled",
 ]
+
+# global QDQ gate (ref lifecycle/helpers.py:17-22 enable/disable_quantization)
+_QUANTIZATION_ENABLED = True
+
+
+def enable_quantization() -> None:
+    global _QUANTIZATION_ENABLED
+    _QUANTIZATION_ENABLED = True
+
+
+def disable_quantization() -> None:
+    global _QUANTIZATION_ENABLED
+    _QUANTIZATION_ENABLED = False
+
+
+def quantization_enabled() -> bool:
+    return _QUANTIZATION_ENABLED
 
 
 @dataclasses.dataclass
@@ -360,7 +380,7 @@ def quantized_module_forward(
     fake-quant weight (skipped when status >= COMPRESSED) -> matmul ->
     quantize output. Disabled entirely when state.enabled is False."""
     scheme = state.scheme
-    enabled = state.enabled and scheme is not None
+    enabled = state.enabled and scheme is not None and _QUANTIZATION_ENABLED
 
     if enabled and scheme.input_activations is not None:
         x = _forward_quantize(state, x, "input", scheme.input_activations)

@@ -67,22 +67,33 @@ def make_tiny_llama_checkpoint(
     NH = cfg["num_attention_heads"]
 
     names, states, extra = [], {}, {}
+    model_type = cfg.get("model_type", "llama")
+    attn_bias = cfg.get("attention_bias",
+                        model_type in ("qwen2", "qwen2_moe"))
+    qk_norm = model_type in ("qwen3", "qwen3_moe")
 
-    def add(name, shape):
+    def add(name, shape, bias=False):
         names.append(name)
         states[name] = {
             "weight": jnp.asarray(
                 (rng.normal(size=shape) * 0.05).astype(np.float32)
             )
         }
+        if bias:
+            states[name]["bias"] = jnp.asarray(
+                (rng.normal(size=shape[0]) * 0.05).astype(np.float32)
+            )
 
     add("model.embed_tokens", (V, H))
     for i in range(cfg["num_hidden_layers"]):
         p = f"model.layers.{i}"
-        add(f"{p}.self_attn.q_proj", (NH * D, H))
-        add(f"{p}.self_attn.k_proj", (KVH * D, H))
-        add(f"{p}.self_attn.v_proj", (KVH * D, H))
+        add(f"{p}.self_attn.q_proj", (NH * D, H), bias=attn_bias)
+        add(f"{p}.self_attn.k_proj", (KVH * D, H), bias=attn_bias)
+        add(f"{p}.self_attn.v_proj", (KVH * D, H), bias=attn_bias)
         add(f"{p}.self_attn.o_proj", (H, NH * D))
+        if qk_norm:
+            extra[f"{p}.self_attn.q_norm.weight"] = np.ones(D, np.float32)
+            extra[f"{p}.self_attn.k_norm.weight"] = np.ones(D, np.float32)
         num_experts = cfg.get("num_experts", 0)
         if num_experts:
             Im = cfg.get("moe_intermediate_size", I)
