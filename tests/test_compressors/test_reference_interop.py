@@ -1,0 +1,149 @@
+"""Checkpoint interop with the upstream reference: checkpoints written by
+our save path must parse (config.json) and decompress (safetensors tensors,
+bit-packing) identically through the reference library itself."""
+
+import json
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "_stubs"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from oracle import load_reference  # noqa: E402
+from testing_utils import make_tiny_llama_checkpoint  # noqa: E402
+
+from compressed_tensors_tpu.utils.safetensors_io import (  # noqa: E402
+    CheckpointReader,
+)
+
+W4A16_ASYM_G32 = {
+    "config_groups": {
+        "group_0": {
+            "targets": ["Linear"],
+            "weights": {"num_bits": 4, "type": "int", "strategy": "group",
+                        "group_size": 32, "symmetric": False},
+        }
+    },
+    "format": "pack-quantized",
+    "ignore": ["lm_head"],
+    "quant_method": "compressed-tensors",
+}
+
+W8A8_CHANNEL = {
+    "config_groups": {
+        "group_0": {
+            "targets": ["Linear"],
+            "weights": {"num_bits": 8, "type": "int", "strategy": "channel",
+                        "symmetric": True},
+            "input_activations": {"num_bits": 8, "type": "int",
+                                  "strategy": "token", "dynamic": True,
+                                  "symmetric": True},
+        }
+    },
+    "format": "int-quantized",
+    "ignore": ["lm_head"],
+    "quant_method": "compressed-tensors",
+}
+
+
+@pytest.mark.parametrize("qconfig,fmt", [
+    (W4A16_ASYM_G32, "pack-quantized"),
+    (W8A8_CHANNEL, "int-quantized"),
+])
+def test_reference_decompresses_our_checkpoint(rng, tmp_path, qconfig, fmt):
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("reference oracle unavailable")
+    import torch
+    from compressed_tensors.compressors import BaseCompressor
+    from compressed_tensors.quantization import (
+        QuantizationConfig as RefQuantizationConfig,
+    )
+
+    save_dir, dense_states = make_tiny_llama_checkpoint(
+        tmp_path, rng, qconfig
+    )
+
+    # 1. the written config.json quantization_config parses with the
+    #    reference's pydantic schema
+    with open(os.path.join(save_dir, "config.json")) as f:
+        cfg = json.load(f)
+    ref_qcfg = RefQuantizationConfig.model_validate(cfg["quantization_config"])
+    assert ref_qcfg.format == fmt
+    scheme = next(iter(ref_qcfg.config_groups.values()))
+    scheme = scheme if not isinstance(scheme, str) else None
+    assert scheme is not None and scheme.weights is not None
+
+    # 2. the reference's codec decompresses our packed tensors back to the
+    #    same dense weights our own decompressor produces
+    reader = CheckpointReader(save_dir)
+    compressor = BaseCompressor.get_value_from_registry(fmt)
+
+    name = "model.layers.0.self_attn.q_proj"
+    state = {k: torch.tensor(np.asarray(v))
+             for k, v in reader.module_state_dict(name).items()}
+    out = compressor.decompress(state, scheme)
+    theirs = out["weight"].to(torch.float32).numpy()
+
+    from compressed_tensors_tpu.compressors import (
+        ModelCompressor,
+        module_graph_from_names,
+    )
+
+    mc = ModelCompressor.from_pretrained(save_dir)
+    modules = module_graph_from_names(reader.module_names())
+    ours_state = {
+        k: jnp.asarray(np.asarray(v))
+        for k, v in reader.module_state_dict(name).items()
+    }
+    ours = np.asarray(
+        mc.decompress_state({name: ours_state}, modules)[name]["weight"],
+        np.float32,
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-6, rtol=1e-6)
+
+    # 3. and both equal the QDQ'd dense original within quant error
+    dense = np.asarray(dense_states[name]["weight"], np.float32)
+    err = np.abs(theirs - dense).max()
+    scale = np.asarray(dense_states[name]["weight_scale"], np.float32)
+    assert err <= scale.max() * 1.01, (err, scale.max())
+    reader.close()
+
+
+def test_reference_packing_matches_ours_bitwise(rng, tmp_path):
+    """The raw int32 words on disk equal what the reference would pack."""
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("reference oracle unavailable")
+    import torch
+    from compressed_tensors.compressors.pack_quantized.helpers import (
+        pack_to_int32 as ref_pack,
+    )
+
+    save_dir, dense_states = make_tiny_llama_checkpoint(
+        tmp_path, rng, W4A16_ASYM_G32
+    )
+    reader = CheckpointReader(save_dir)
+    name = "model.layers.0.mlp.down_proj"
+    state = reader.module_state_dict(name)
+    ours_packed = np.asarray(state["weight_packed"])
+
+    # reconstruct the quantized values from our own dense + qparams, pack
+    # with the REFERENCE packer, compare words
+    from compressed_tensors_tpu.ops.quantize import quantize
+    from compressed_tensors_tpu.quantization import QuantizationArgs
+
+    args = QuantizationArgs(num_bits=4, type="int", strategy="group",
+                            group_size=32, symmetric=False)
+    q = quantize(
+        jnp.asarray(np.asarray(dense_states[name]["weight"])),
+        jnp.asarray(np.asarray(dense_states[name]["weight_scale"])),
+        jnp.asarray(np.asarray(dense_states[name]["weight_zero_point"])),
+        args, dtype=jnp.int8,
+    )
+    theirs = ref_pack(torch.tensor(np.asarray(q)), 4).numpy()
+    np.testing.assert_array_equal(ours_packed, theirs)
+    reader.close()

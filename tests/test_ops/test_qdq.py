@@ -45,11 +45,20 @@ CASES = [
     QuantizationArgs(num_bits=8, type="int", symmetric=True, strategy="tensor"),
     QuantizationArgs(num_bits=8, type="int", symmetric=False, strategy="tensor"),
     QuantizationArgs(num_bits=8, type="int", symmetric=True, strategy="channel"),
+    QuantizationArgs(num_bits=8, type="int", symmetric=False, strategy="channel"),
+    QuantizationArgs(num_bits=8, type="int", symmetric=False, group_size=32),
     QuantizationArgs(num_bits=4, type="int", symmetric=True, group_size=64),
     QuantizationArgs(num_bits=4, type="int", symmetric=False, group_size=64),
+    QuantizationArgs(num_bits=2, type="int", symmetric=True, group_size=32),
+    QuantizationArgs(num_bits=3, type="int", symmetric=True, strategy="channel"),
+    QuantizationArgs(num_bits=6, type="int", symmetric=False, strategy="channel"),
+    QuantizationArgs(num_bits=8, type="float", symmetric=True, strategy="tensor"),
     QuantizationArgs(num_bits=8, type="float", symmetric=True, strategy="channel"),
+    QuantizationArgs(num_bits=8, type="float", symmetric=True, group_size=32),
     QuantizationArgs(num_bits=8, type="float", symmetric=True, strategy="block",
                      block_structure=[8, 64]),
+    QuantizationArgs(num_bits=8, type="int", symmetric=True, strategy="block",
+                     block_structure=[4, 32]),
 ]
 
 
@@ -146,6 +155,36 @@ def test_dequantize_infers_strategy(rng):
         np.asarray(dequantize(q, scale, zp, args)),
         np.asarray(dequantize(q, scale, zp)),
     )
+
+
+def test_attn_head_strategy_matches_reference(rng):
+    """attn_head strategy: per-head scales shaped (heads, 1, 1) applied over
+    (B, heads, S, head_dim) attention states (ref quant_args strategy +
+    initialize.py:279-334 shapes)."""
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("reference oracle unavailable")
+    import torch
+    from compressed_tensors.quantization import QuantizationArgs as RefArgs
+    from compressed_tensors.quantization.lifecycle.forward import (
+        fake_quantize as ref_fake_quantize,
+    )
+
+    args = QuantizationArgs(num_bits=8, type="float", symmetric=True,
+                            strategy="attn_head")
+    ref_args = RefArgs(num_bits=8, type="float", symmetric=True,
+                       strategy="attn_head")
+    x = rng.normal(size=(2, 4, 5, 16)).astype(np.float32)
+    # per-head maxabs -> scale (heads, 1, 1)
+    mn = x.min(axis=(0, 2, 3))[:, None, None]
+    mx = x.max(axis=(0, 2, 3))[:, None, None]
+    scale, zp = calculate_qparams(jnp.asarray(mn), jnp.asarray(mx), args)
+    ours = fake_quantize(jnp.asarray(x), scale, zp, args)
+
+    ref_scale = torch.tensor(np.asarray(scale))
+    theirs = ref_fake_quantize(torch.tensor(x), ref_scale, None,
+                               ref_args).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-6)
 
 
 def test_g_idx_permutation_roundtrip(rng):
