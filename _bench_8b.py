@@ -1,0 +1,133 @@
+"""Llama-3-8B W4A16 single-chip decode throughput (BASELINE headline).
+
+Weights are generated ON DEVICE (jax.random) directly in kernel layout —
+8B-scale host generation + tunnel transfer would dominate; on-device it is
+a handful of compiles (one per distinct shape)."""
+import os, sys, time
+
+sys.path.insert(0, '/root/repo')
+layout = sys.argv[1] if len(sys.argv) > 1 else "e8"
+os.environ["CT_TPU_W4_LAYOUT"] = layout
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/ct_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from compressed_tensors_tpu.models.synthetic import LLAMA3_8B
+from compressed_tensors_tpu.models.llama import init_kv_cache, llama_forward
+from compressed_tensors_tpu.ops.linear import QuantizedTensor
+from compressed_tensors_tpu.ops.fuse import fuse_llama_layers, Static
+from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+    choose_k_tile, padded_k,
+)
+from compressed_tensors_tpu.quantization import preset_name_to_scheme
+from compressed_tensors_tpu.config import CompressionFormat
+
+config = LLAMA3_8B
+scheme = preset_name_to_scheme("W4A16", ["Linear"])
+G = 128
+
+key = jax.random.PRNGKey(0)
+_kc = [0]
+
+
+def nk():
+    _kc[0] += 1
+    return jax.random.fold_in(key, _kc[0])
+
+
+def qt_device(n, k):
+    """Kernel-layout W4A16 weight generated on device."""
+    tk = choose_k_tile(k, G)
+    k_pad = padded_k(k, G)
+    scales = jax.random.uniform(nk(), (k_pad // G, n), jnp.float32,
+                                1e-3, 3e-3)
+    if layout == "e8":
+        w8 = jax.random.randint(nk(), (k_pad, n), -8, 8, jnp.int8)
+        meta = ("w4e8", n, k, k_pad, G, tk)
+        return QuantizedTensor(kernel_packed=w8, kernel_scales=scales,
+                               shape=(n, k), scheme=scheme,
+                               format=CompressionFormat.pack_quantized.value,
+                               kernel_meta=meta)
+    packed = jax.random.randint(nk(), (k_pad // 8, n), -2**31, 2**31 - 1,
+                                jnp.int32)
+    meta = ("w4a16", n, k, k_pad, G, tk)
+    return QuantizedTensor(kernel_packed=packed, kernel_scales=scales,
+                           shape=(n, k), scheme=scheme,
+                           format=CompressionFormat.pack_quantized.value,
+                           kernel_meta=meta)
+
+
+H, I = config.hidden_size, config.intermediate_size
+NH, KVH, D = (config.num_attention_heads, config.num_key_value_heads,
+              config.head_dim)
+V = config.vocab_size
+
+print(f"building 8B params on device (layout={layout})...", file=sys.stderr,
+      flush=True)
+t0 = time.time()
+params = {
+    "embed_tokens": (jax.random.normal(nk(), (V, H), jnp.bfloat16) * 0.02),
+    "norm": jnp.ones((H,), jnp.bfloat16),
+    "layers": [],
+}
+for i in range(config.num_hidden_layers):
+    params["layers"].append({
+        "qkv_proj": qt_device(NH * D + 2 * KVH * D, H),
+        "qkv_splits": Static((NH * D, NH * D + KVH * D)),
+        "o_proj": qt_device(H, NH * D),
+        "gate_up_proj": qt_device(2 * I, H),
+        "gate_up_split": Static((I,)),
+        "down_proj": qt_device(H, I),
+        "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+        "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
+    })
+params["lm_head"] = jax.random.normal(nk(), (V, H), jnp.bfloat16) * 0.02
+jax.block_until_ready(params["lm_head"])
+print(f"built in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+prompt_len = 16
+rng = np.random.default_rng(0)
+ids = jnp.asarray(rng.integers(0, V, size=(batch, prompt_len)), jnp.int32)
+MAXLEN = prompt_len + 64 + 1
+
+
+@jax.jit
+def run(params, input_ids, nsteps):
+    cache = init_kv_cache(config, batch, MAXLEN, dtype=jnp.bfloat16)
+    positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]),
+                                 input_ids.shape)
+    logits, cache = llama_forward(params, config, input_ids, positions,
+                                  cache, fresh_prefill=True)
+    token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    def body(carry):
+        i, token, cache, acc = carry
+        logits, cache = llama_forward(params, config, token[:, None],
+                                      cache.lengths[:, None], cache)
+        token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return i + 1, token, cache, acc + jnp.sum(token)
+
+    _, token, cache, acc = jax.lax.while_loop(
+        lambda c: c[0] < nsteps, body,
+        (jnp.int32(0), token, cache, jnp.int32(0)))
+    return acc
+
+
+def t(n):
+    int(run(params, ids, jnp.int32(n)))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        int(run(params, ids, jnp.int32(n)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+t8, t64 = t(8), t(64)
+marg = (t64 - t8) / 56
+print(f"llama3-8B W4A16 layout={layout} bs={batch}: "
+      f"T(8)={t8*1e3:.0f}ms T(64)={t64*1e3:.0f}ms "
+      f"marginal={marg*1e3:.2f} ms/step -> {batch/marg:.0f} tok/s/chip",
+      flush=True)

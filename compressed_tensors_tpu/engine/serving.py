@@ -54,6 +54,10 @@ class ServingEngine:
     :param config: model config
     :param max_batch: number of concurrent sequence slots
     :param max_len: per-slot KV capacity (prompt + generation)
+    :param steps_per_sync: decode steps fused into one jitted burst per
+        host round trip (lax.scan). >1 amortizes device->host latency; a
+        slot that finishes mid-burst wastes at most steps_per_sync-1 token
+        computations (its extra tokens are truncated host-side)
     """
 
     def __init__(
@@ -65,6 +69,7 @@ class ServingEngine:
         prefill_chunk: int = 64,
         dtype=jnp.bfloat16,
         cache_dtype=None,
+        steps_per_sync: int = 1,
     ):
         self.params = params
         self.config = config
@@ -72,6 +77,7 @@ class ServingEngine:
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
         self.dtype = dtype
+        self.steps_per_sync = max(1, int(steps_per_sync))
 
         self.cache: KVCache = init_kv_cache(
             config, max_batch, max_len, dtype=dtype, cache_dtype=cache_dtype
@@ -148,8 +154,39 @@ class ServingEngine:
             return (KVCache(k=new_cache.k, v=new_cache.v,
                             lengths=new_lengths), next_tokens)
 
+        @partial(jax.jit, static_argnames=("k",), donate_argnames=("cache",))
+        def decode_burst(params, cache, tokens, active, k: int):
+            """k decode steps in one dispatch; returns the (k, B) token
+            trace for host-side truncation."""
+            active_b = active.astype(bool)
+
+            def body(carry, _):
+                cache, tokens = carry
+                lengths = cache.lengths
+                fwd_lengths = jnp.where(active_b, lengths, -1).astype(
+                    jnp.int32
+                )
+                fwd_cache = KVCache(k=cache.k, v=cache.v,
+                                    lengths=fwd_lengths)
+                logits, new_cache = llama_forward(
+                    params, config, tokens[:, None], fwd_lengths[:, None],
+                    fwd_cache,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                nxt = jnp.where(active_b, nxt, tokens)
+                new_lengths = jnp.where(active_b, lengths + 1, lengths)
+                cache = KVCache(k=new_cache.k, v=new_cache.v,
+                                lengths=new_lengths)
+                return (cache, nxt), nxt
+
+            (cache, tokens), trace = jax.lax.scan(
+                body, (cache, tokens), None, length=k
+            )
+            return cache, tokens, trace
+
         self._prefill_slot = prefill_slot
         self._decode_step = decode_step
+        self._decode_burst = decode_burst
 
     # ------------------------------------------------------------------ #
     def submit(self, request: Request) -> None:
@@ -224,24 +261,50 @@ class ServingEngine:
                 self.slot_outputs[slot] = []
 
     def step(self) -> None:
-        """One engine iteration: admit, decode, collect, retire."""
+        """One engine iteration: admit, decode (burst), collect, retire."""
         self._retire()
         self._admit()
         # a prompt's first generated token may already finish the request
         self._retire()
+        reqs = [r for r in self.slot_requests if r is not None]
+        if not reqs:
+            return
         active = jnp.asarray(
             [1 if r is not None else 0 for r in self.slot_requests],
             dtype=jnp.int32,
         )
-        if int(active.sum()) == 0:
-            return
-        self.cache, self.tokens = self._decode_step(
-            self.params, self.cache, self.tokens, active
-        )
-        host_tokens = np.asarray(self.tokens)
+        # burst length: bounded by the tightest remaining budget/capacity so
+        # no slot writes past its cache or computes far past its stop
+        lengths = np.asarray(self.cache.lengths)
+        burst = self.steps_per_sync
         for slot, req in enumerate(self.slot_requests):
-            if req is not None:
-                self.slot_outputs[slot].append(int(host_tokens[slot]))
+            if req is None:
+                continue
+            remaining = req.max_new_tokens - len(self.slot_outputs[slot])
+            cap = self.max_len - 1 - int(lengths[slot])
+            burst = min(burst, max(1, min(remaining, cap)))
+
+        if burst == 1:
+            self.cache, self.tokens = self._decode_step(
+                self.params, self.cache, self.tokens, active
+            )
+            trace = np.asarray(self.tokens)[None]
+        else:
+            self.cache, self.tokens, trace = self._decode_burst(
+                self.params, self.cache, self.tokens, active, burst
+            )
+            trace = np.asarray(trace)
+        for slot, req in enumerate(self.slot_requests):
+            if req is None:
+                continue
+            for k in range(trace.shape[0]):
+                out = self.slot_outputs[slot]
+                if len(out) >= req.max_new_tokens:
+                    break
+                if (req.eos_token_id is not None and out
+                        and out[-1] == req.eos_token_id):
+                    break  # truncate tokens generated past EOS mid-burst
+                out.append(int(trace[k, slot]))
         self._retire()
 
     def run(self, max_steps: int = 10_000) -> list[Completion]:

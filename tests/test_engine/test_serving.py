@@ -102,3 +102,42 @@ def test_eos_stops_generation(rng, tmp_path):
     assert completions[0].finish_reason == "stop"
     assert completions[0].output_ids[-1] == eos
     assert len(completions[0].output_ids) == 1
+
+
+def test_burst_decode_matches_per_step(rng, tmp_path):
+    """steps_per_sync>1 (lax.scan burst) yields identical completions."""
+    engine1, params, config = _engine(rng, tmp_path, max_batch=2, max_len=32,
+                                      prefill_chunk=4)
+    engine4 = ServingEngine(params, config, dtype=jnp.float32, max_batch=2,
+                            max_len=32, prefill_chunk=4, steps_per_sync=4)
+    prompts = [rng.integers(0, config.vocab_size, size=(n,)).tolist()
+               for n in (6, 3, 9)]
+    for e in (engine1, engine4):
+        for i, p in enumerate(prompts):
+            e.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=7))
+    outs1 = {c.request_id: c.output_ids for c in engine1.run()}
+    outs4 = {c.request_id: c.output_ids for c in engine4.run()}
+    assert outs1.keys() == outs4.keys()
+    for rid in outs1:
+        assert outs1[rid] == outs4[rid], rid
+
+
+def test_burst_decode_eos_truncation(rng, tmp_path):
+    """A slot finishing on EOS mid-burst truncates tokens generated past it
+    and still matches the per-step engine."""
+    engine1, params, config = _engine(rng, tmp_path, max_batch=1, max_len=32,
+                                      prefill_chunk=4)
+    engine8 = ServingEngine(params, config, dtype=jnp.float32, max_batch=1,
+                            max_len=32, prefill_chunk=4, steps_per_sync=8)
+    prompt = rng.integers(0, config.vocab_size, size=(5,)).tolist()
+    # pick the 3rd greedily generated token as the EOS so it hits mid-burst
+    ref = greedy_generate(params, config,
+                          np.asarray(prompt, dtype=np.int32)[None, :],
+                          max_new_tokens=8, dtype=jnp.float32)
+    eos = int(np.asarray(ref)[0, 5 + 2])
+    for e in (engine1, engine8):
+        e.submit(Request(request_id=0, prompt_ids=prompt, max_new_tokens=8,
+                         eos_token_id=eos))
+    (c1,), (c8,) = engine1.run(), engine8.run()
+    assert c1.output_ids == c8.output_ids
+    assert c8.finish_reason == c1.finish_reason
