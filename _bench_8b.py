@@ -25,7 +25,8 @@ from compressed_tensors_tpu.quantization import preset_name_to_scheme
 from compressed_tensors_tpu.config import CompressionFormat
 
 config = LLAMA3_8B
-scheme = preset_name_to_scheme("W4A16", ["Linear"])
+FP8 = layout.startswith("fp8")          # FP8 W8A8 (+ fp8 KV cache)
+scheme = preset_name_to_scheme("FP8_DYNAMIC" if FP8 else "W4A16", ["Linear"])
 G = 128
 
 key = jax.random.PRNGKey(0)
@@ -38,7 +39,15 @@ def nk():
 
 
 def qt_device(n, k):
-    """Kernel-layout W4A16 weight generated on device."""
+    """Kernel-layout quantized weight generated on device."""
+    if FP8:
+        w = (jax.random.normal(nk(), (k, n), jnp.float32) * 100).astype(
+            jnp.float8_e4m3fn)
+        w_scale = jax.random.uniform(nk(), (1, n), jnp.float32, 1e-4, 3e-4)
+        return QuantizedTensor(
+            kernel_packed=w, kernel_scales=w_scale, shape=(n, k),
+            scheme=scheme, format=CompressionFormat.float_quantized.value,
+            kernel_meta=("w8a8", n, k))
     tk = choose_k_tile(k, G)
     k_pad = padded_k(k, G)
     scales = jax.random.uniform(nk(), (k_pad // G, n), jnp.float32,
@@ -73,7 +82,12 @@ params = {
     "layers": [],
 }
 for i in range(config.num_hidden_layers):
+    kv_extra = {}
+    if layout == "fp8kv":
+        kv_extra = {"k_scale": jnp.asarray([0.03], jnp.float32),
+                    "v_scale": jnp.asarray([0.03], jnp.float32)}
     params["layers"].append({
+        **kv_extra,
         "qkv_proj": qt_device(NH * D + 2 * KVH * D, H),
         "qkv_splits": Static((NH * D, NH * D + KVH * D)),
         "o_proj": qt_device(H, NH * D),
@@ -93,9 +107,13 @@ ids = jnp.asarray(rng.integers(0, V, size=(batch, prompt_len)), jnp.int32)
 MAXLEN = prompt_len + 64 + 1
 
 
+CACHE_DTYPE = jnp.float8_e4m3fn if layout == "fp8kv" else None
+
+
 @jax.jit
 def run(params, input_ids, nsteps):
-    cache = init_kv_cache(config, batch, MAXLEN, dtype=jnp.bfloat16)
+    cache = init_kv_cache(config, batch, MAXLEN, dtype=jnp.bfloat16,
+                          cache_dtype=CACHE_DTYPE)
     positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]),
                                  input_ids.shape)
     logits, cache = llama_forward(params, config, input_ids, positions,

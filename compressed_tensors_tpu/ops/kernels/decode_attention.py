@@ -278,8 +278,8 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             # cache outputs stay in HBM, aliased onto the inputs: no block
             # write-back; the kernel DMAs only the dirty tile
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, kvh, span, dp), cache_k.dtype),  # stage_k

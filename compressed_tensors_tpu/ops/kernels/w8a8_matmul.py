@@ -43,29 +43,35 @@ def _make_kernel(is_int8: bool, q_max: float):
     # (ref quantization/utils/helpers.py:79-87)
     half_range = (2 * q_max + 1) / 2 if is_int8 else q_max
 
-    def kernel(x_ref, w_ref, wscale_ref, out_ref):
-        x = x_ref[:].astype(jnp.float32)  # (TB, K)
-        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (TB, 1)
-        x_scale = jnp.maximum(absmax / half_range, 1e-10)
-        scaled = x / x_scale
-        if is_int8:
-            x_q = jnp.round(jnp.clip(scaled, -q_max - 1, q_max)).astype(
-                jnp.int8
-            )
-            acc = jax.lax.dot_general(
-                x_q, w_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:
-            x_q = jnp.clip(scaled, -q_max, q_max).astype(w_ref.dtype)
-            acc = jax.lax.dot_general(
-                x_q, w_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    def kernel(x_ref, w_ref, wscale_ref, out_ref, xq_ref, xs_ref):
+        ni = pl.program_id(1)
+
+        # quantize the x tile once per M tile (ni == 0) and reuse the
+        # VMEM-scratch copy across all N tiles — re-quantizing per N tile
+        # is pure redundant VPU work (grid iterates ni fastest)
+        @pl.when(ni == 0)
+        def _():
+            x = x_ref[:].astype(jnp.float32)  # (TB, K)
+            absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (TB, 1)
+            x_scale = jnp.maximum(absmax / half_range, 1e-10)
+            scaled = x / x_scale
+            if is_int8:
+                xq_ref[:] = jnp.round(
+                    jnp.clip(scaled, -q_max - 1, q_max)
+                ).astype(jnp.int8)
+            else:
+                xq_ref[:] = jnp.clip(scaled, -q_max, q_max).astype(
+                    xq_ref.dtype
+                )
+            xs_ref[:] = jnp.broadcast_to(x_scale, xs_ref.shape)
+
+        acc = jax.lax.dot_general(
+            xq_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+        ).astype(jnp.float32)
         w_scale = wscale_ref[0, :].astype(jnp.float32)  # (TN,)
-        out_ref[:] = acc * x_scale * w_scale[None, :]
+        out_ref[:] = acc * xs_ref[:, :1] * w_scale[None, :]
 
     return kernel
 
@@ -97,6 +103,11 @@ def w8a8_matmul(
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
+    if k > 8192:
+        # large-K models (8B down_proj: K=14336): a (K, TN) weight tile at
+        # TN=512 is ~7MB fp8 and double-buffers past the default 16MB
+        # scoped-vmem limit
+        tn = min(tn, 256)
     tn = min(tn, int(np.ceil(n / 128) * 128))
     n_pad = int(np.ceil(n / tn) * tn)
     if n_pad != n:
@@ -120,10 +131,19 @@ def w8a8_matmul(
         out_specs=pl.BlockSpec((tm, tn), lambda mi, ni: (mi, ni),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, k), jnp.int8 if is_int8 else w_t.dtype),
+            pltpu.VMEM((tm, 128), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * k,
             bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # whole-K tiles (the dynamic per-token scale needs the full-row
+            # absmax) need headroom past the 16MB default scoped limit
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(x, w_t, w_scale)

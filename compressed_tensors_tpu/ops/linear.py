@@ -408,7 +408,10 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
 
     layout = _os.environ.get("CT_TPU_W4_LAYOUT", "auto")
     if layout == "auto":
-        layout = "e8" if qt.zero_point is None else "packed"
+        # packed int4 halves weight HBM traffic + footprint vs e8; at
+        # 8B scale it wins outright (HBM-bound), at 1B scale it ties
+        # (MXU-bound either way)
+        layout = "packed"
     if layout == "e8" and qt.zero_point is None:
         w8 = unpacked.astype(jnp.int8).T  # (K, N) signed q
         if k_pad != k:
