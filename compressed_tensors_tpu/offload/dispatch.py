@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, TypeVar
 
-__all__ = ["max_binary_search", "SearchFailureError", "dispatch_plan"]
+__all__ = [
+    "max_binary_search",
+    "SearchFailureError",
+    "dispatch_plan",
+    "get_device_map",
+    "dispatch_with_map",
+]
 
 T = TypeVar("T")
 
@@ -117,3 +123,58 @@ def dispatch_plan(
     for name in offloaded:
         assignment[name] = -1
     return assignment
+
+
+def get_device_map(
+    module_sizes: Mapping[str, int],
+    devices: list | None = None,
+    memory_fraction: float = 0.9,
+) -> dict[str, int]:
+    """Plan placement against the live jax devices' memory budgets (ref
+    dispatch.py:42-141 `get_device_map`). Devices without memory stats
+    (CPU backends) are treated as unbounded."""
+    import jax
+
+    devices = devices if devices is not None else jax.devices()
+    budgets = []
+    for d in devices:
+        stats = {}
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:  # CPU/interpret backends expose no stats
+            pass
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit is None:
+            budgets.append(1 << 62)
+        else:
+            budgets.append(max(0, int(limit * memory_fraction) - in_use))
+    return dispatch_plan(module_sizes, budgets)
+
+
+def dispatch_with_map(
+    module_params: Mapping[str, dict],
+    device_map: Mapping[str, int],
+    devices: list | None = None,
+):
+    """Place per-module param dicts onto devices per a plan (ref
+    dispatch.py:79 `dispatch_with_map`). Modules mapped to -1 stay on host
+    (numpy arrays, the functional stand-in for a CPU OffloadCache); the
+    rest are `jax.device_put` onto their assigned device.
+
+    :param module_params: module name -> pytree of arrays
+    :param device_map: module name -> device index (-1 = host)
+    :return: new {module: pytree} with placed leaves
+    """
+    import jax
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    out = {}
+    for name, params in module_params.items():
+        dev = device_map.get(name, 0)
+        if dev == -1:
+            out[name] = jax.tree.map(np.asarray, params)
+        else:
+            out[name] = jax.device_put(params, devices[dev])
+    return out

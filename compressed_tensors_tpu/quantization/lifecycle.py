@@ -46,6 +46,7 @@ from compressed_tensors_tpu.utils.match import (
 __all__ = [
     "ModuleQuantState",
     "apply_quantization_config",
+    "load_pretrained_quantization_parameters",
     "initialize_qparam_shapes",
     "initialize_module_for_quantization",
     "calibrate_module",
@@ -267,6 +268,68 @@ def apply_quantization_config(
             status=config.quantization_status,
         )
     return states
+
+
+def _load_quant_args_from_mapping(
+    state: ModuleQuantState,
+    base_name: str,
+    module_name: str,
+    mapping: Mapping[str, str],
+) -> None:
+    """Load {base}_scale / _zero_point / _g_idx for one module from shard
+    paths (ref apply.py:195-236). Symmetric checkpoints carry no zero
+    point; fill zeros like the reference."""
+    from compressed_tensors_tpu.utils.safetensors_io import SafetensorsFile
+
+    def fetch(param: str):
+        path = mapping.get(f"{module_name}.{param}")
+        if path is None:
+            return None
+        f = SafetensorsFile(path)
+        try:
+            return jnp.asarray(np.ascontiguousarray(
+                f.get(f"{module_name}.{param}")))
+        finally:
+            f.close()
+
+    g_idx = fetch(f"{base_name}_g_idx")
+    if g_idx is not None:
+        state.qparams[f"{base_name}_g_idx"] = g_idx
+
+    scale = fetch(f"{base_name}_scale")
+    if scale is not None:
+        state.qparams[f"{base_name}_scale"] = scale
+        zp = fetch(f"{base_name}_zero_point")
+        if zp is None:
+            zp = jnp.zeros_like(scale)
+        state.qparams[f"{base_name}_zero_point"] = zp
+
+
+def load_pretrained_quantization_parameters(
+    states: Mapping[str, ModuleQuantState],
+    model_path: str,
+    load_weight_qparams: bool = False,
+) -> None:
+    """Load static quantization parameters (scales / zero points / g_idx)
+    from an on-disk checkpoint into already-initialized module states
+    (ref apply.py:49-97).
+
+    Always loads input/output activation qparams; weight qparams only when
+    ``load_weight_qparams`` (the weight-decompression path usually owns
+    those).
+    """
+    from compressed_tensors_tpu.utils.safetensors_io import (
+        get_quantization_parameter_to_path_mapping,
+    )
+
+    mapping = get_quantization_parameter_to_path_mapping(model_path)
+    for name, state in states.items():
+        if state.scheme.input_activations is not None:
+            _load_quant_args_from_mapping(state, "input", name, mapping)
+        if state.scheme.output_activations is not None:
+            _load_quant_args_from_mapping(state, "output", name, mapping)
+        if load_weight_qparams and state.scheme.weights is not None:
+            _load_quant_args_from_mapping(state, "weight", name, mapping)
 
 
 # --------------------------------------------------------------------------- #

@@ -36,6 +36,10 @@ __all__ = [
     "save_safetensors",
     "get_weight_map",
     "get_checkpoint_files",
+    "get_safetensors_header",
+    "get_nested_weight_mappings",
+    "get_quantization_parameter_to_path_mapping",
+    "is_quantization_param",
     "get_quantization_config_dict",
     "update_config",
     "update_safetensors_index",
@@ -173,6 +177,53 @@ def get_checkpoint_files(path: str) -> list[str]:
         for f in os.listdir(path)
         if f.endswith(".safetensors")
     )
+
+
+def get_safetensors_header(path: str) -> dict:
+    """Header-only read of one safetensors file: tensor name -> {dtype,
+    shape, data_offsets}, no tensor data touched (ref
+    safetensors_load.py:302)."""
+    with open(path, "rb") as f:
+        header_len = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(header_len))
+    header.pop("__metadata__", None)
+    return header
+
+
+def is_quantization_param(name: str) -> bool:
+    """Whether a tensor name is a quantization parameter (ref
+    safetensors_load.py:524)."""
+    return (
+        name.endswith("_scale")
+        or name.endswith("zero_point")
+        or name.endswith("g_idx")
+    )
+
+
+def get_quantization_parameter_to_path_mapping(path: str) -> dict[str, str]:
+    """Full tensor name -> absolute shard path, qparams only (ref
+    safetensors_load.py:456)."""
+    return {
+        name: os.path.join(path, fname)
+        for name, fname in get_weight_map(path).items()
+        if is_quantization_param(name)
+    }
+
+
+def get_nested_weight_mappings(
+    path: str, params_to_nest: Iterable[str] | None = None
+) -> dict[str, dict[str, str]]:
+    """module name -> {local param name -> absolute shard path} (ref
+    safetensors_load.py:387). When ``params_to_nest`` is given, only those
+    local names are kept."""
+    keep = set(params_to_nest) if params_to_nest is not None else None
+    nested: dict[str, dict[str, str]] = {}
+    for name, fname in get_weight_map(path).items():
+        module, param = CheckpointReader.split(name)
+        if keep is not None and param not in keep:
+            continue
+        nested.setdefault(module, {})[param] = os.path.join(path, fname)
+    return nested
 
 
 def get_weight_map(path: str) -> dict[str, str]:
