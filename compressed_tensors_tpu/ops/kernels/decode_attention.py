@@ -49,8 +49,9 @@ def _interpret() -> bool:
 
 def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                  compute_dtype, has_scales: bool, inv_sqrt_d: float,
-                 stacked: bool, layer: int | None):
-    def kernel(lens_ref, *refs):
+                 stacked: bool, g_rows: int):
+    def kernel(lens_ref, lyr_ref, *refs):
+        layer = lyr_ref[0]
         if has_scales:
             (q_ref, newk_ref, newv_ref, ck_ref, cv_ref, kscale_ref,
              vscale_ref, out_ref, ck_hbm, cv_hbm,
@@ -62,10 +63,7 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
              out_ref, ck_hbm, cv_hbm,
              stage_k, stage_v, sem, actives_ref) = refs
             k_scale = v_scale = None
-        b = pl.program_id(0)
-        length = lens_ref[b]
-        active = length >= 0
-        wpos = jnp.maximum(length, 0)
+        gi = pl.program_id(0)
         h = kvh * rep
         ks = kvh * s_max
 
@@ -86,128 +84,151 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                         * scale.astype(jnp.float32)).astype(compute_dtype)
             return v.astype(compute_dtype)
 
-        # All kv heads fold into a single (h, kvh*s) score matrix: the
-        # cache block (kvh, s, d) is viewed as (kvh*s, d) (a free reshape —
-        # merged leading dims, s % 8 == 0), one MXU dot computes every
-        # (query-head, key) pair, and a block-diagonal mask keeps only
-        # same-group pairs. kvh-times redundant MXU work, but it turns
-        # 2*kvh tiny latency-bound dots per program into 2 larger ones.
-        row_of = jax.lax.broadcasted_iota(jnp.int32, (ks, d), 0)
-        write_mask = jax.lax.rem(row_of, s_max) == length
-
-        new_k = quantize_new(
-            jnp.broadcast_to(newk_ref[0][:, None, :], (kvh, s_max, d))
-            .reshape(ks, d),
-            k_scale,
-        )
-        new_v = quantize_new(
-            jnp.broadcast_to(newv_ref[0][:, None, :], (kvh, s_max, d))
-            .reshape(ks, d),
-            v_scale,
-        )
-        ckv = ck_ref[0].reshape(ks, d)
-        cvv = cv_ref[0].reshape(ks, d)
-        ckv = jnp.where(write_mask, new_k, ckv)
-        cvv = jnp.where(write_mask, new_v, cvv)
-        # overlay the new token into the VMEM input block (no effect on
-        # HBM yet; inactive rows keep the old value via the mask)
-        ck_ref[0] = ckv.reshape(kvh, s_max, d)
-        cv_ref[0] = cvv.reshape(kvh, s_max, d)
-
-        keys = dequant(ckv, k_scale)      # (kvh*s, Dp)
-        values = dequant(cvv, v_scale)    # (kvh*s, Dp)
-        qh = q_ref[0].astype(compute_dtype)  # (h, Dp)
-
-        scores = jax.lax.dot_general(
-            qh, keys,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_sqrt_d  # (h, kvh*s)
-
-        qrow = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 0)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 1)
-        same_group = (qrow // rep) == (kcol // s_max)
-        valid = jax.lax.rem(kcol, s_max) <= length
-        scores = jnp.where(same_group & valid, scores, -1e30)
-
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-            compute_dtype
-        )  # zero outside the block diagonal, so the dot re-separates heads
-
-        out_h = jax.lax.dot_general(
-            probs, values,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (h, Dp)
-        out_ref[0] = out_h.astype(out_ref.dtype)
-
-        # DMA back only the sublane-tile containing the new-token row (DMA
-        # slices must be tile-aligned; the rest of the tile holds unchanged
-        # data so rewriting it is a no-op). The dirty tile is staged through
-        # a double-buffered scratch so the DMA overlaps the next programs'
-        # compute — waits are deferred by two programs instead of stalling
-        # inline. Inactive rows write nothing.
         align = 32 if jnp.dtype(cache_dtype).itemsize == 1 else 8
-        wstart = jnp.minimum((wpos // align) * align,
-                             jnp.int32(max(s_max - align, 0)))
-        wstart = pl.multiple_of(wstart, align)
         span = min(align, s_max)
-        if stacked:
-            dst_k = ck_hbm.at[layer, b, :, pl.ds(wstart, span), :]
-            dst_v = cv_hbm.at[layer, b, :, pl.ds(wstart, span), :]
-        else:
-            dst_k = ck_hbm.at[b, :, pl.ds(wstart, span), :]
-            dst_v = cv_hbm.at[b, :, pl.ds(wstart, span), :]
-
-        slot = jax.lax.rem(b, 2)
+        slot = jax.lax.rem(gi, 2)
         nprog = pl.num_programs(0)
 
-        def _wait(slot_idx):
-            # transfer sizes are identical across programs, so a descriptor
-            # built from the current refs decrements the right amount
-            pltpu.make_async_copy(
-                stage_k.at[0], dst_k, sem.at[slot_idx, 0]
-            ).wait()
-            pltpu.make_async_copy(
-                stage_v.at[0], dst_v, sem.at[slot_idx, 1]
-            ).wait()
+        # Each program owns g_rows batch rows (static unroll): the per-row
+        # attention math is latency-bound small dots (~0.4us fixed cost per
+        # grid step at one row/program), so amortizing the grid-step cost
+        # over g_rows rows is the difference between overhead-bound and
+        # DMA-bound decode attention.
+        for g in range(g_rows):
+            b = gi * g_rows + g
+            length = lens_ref[b]
+            active = length >= 0
+            wpos = jnp.maximum(length, 0)
 
-        # before reusing this slot's stage buffers, drain the DMA issued
-        # two programs ago (actives_ref tracks whether one was issued)
-        @pl.when((b >= 2) & (actives_ref[slot] == 1))
-        def _():
-            _wait(slot)
+            # Append the new token via an aligned read-modify-write of the
+            # single (kvh, align, d) sublane tile containing the write
+            # position — NOT a full-block masked overlay: iota + compare +
+            # 2x where over the whole (kvh*s, d) block costs ~0.5us of VPU
+            # per row and was the dominant per-row cost. (Mosaic requires
+            # dynamic sublane indices to be tile-aligned, hence RMW of the
+            # aligned tile rather than a 1-row store.) Inactive rows skip
+            # the store (cache untouched in VMEM too, so the skipped
+            # write-back leaves HBM consistent).
+            tile0 = jnp.minimum((wpos // align) * align,
+                                jnp.int32(max(s_max - align, 0)))
+            tile0 = pl.multiple_of(tile0, align)
+            tspan = min(align, s_max)
 
-        @pl.when(active)
-        def _():
-            stage_k[slot] = ck_ref[0, :, pl.ds(wstart, span), :]
-            stage_v[slot] = cv_ref[0, :, pl.ds(wstart, span), :]
-            pltpu.make_async_copy(stage_k.at[slot], dst_k,
-                                  sem.at[slot, 0]).start()
-            pltpu.make_async_copy(stage_v.at[slot], dst_v,
-                                  sem.at[slot, 1]).start()
+            @pl.when(active)
+            def _(g=g, tile0=tile0):
+                row_in_tile = jax.lax.broadcasted_iota(
+                    jnp.int32, (kvh, tspan, d), 1)
+                hit = row_in_tile == (wpos - tile0)
+                ck_tile = ck_ref[g, :, pl.ds(tile0, tspan), :]
+                cv_tile = cv_ref[g, :, pl.ds(tile0, tspan), :]
+                nk_t = jnp.broadcast_to(
+                    quantize_new(newk_ref[g], k_scale)[:, None, :],
+                    (kvh, tspan, d))
+                nv_t = jnp.broadcast_to(
+                    quantize_new(newv_ref[g], v_scale)[:, None, :],
+                    (kvh, tspan, d))
+                ck_ref[g, :, pl.ds(tile0, tspan), :] = jnp.where(
+                    hit, nk_t, ck_tile)
+                cv_ref[g, :, pl.ds(tile0, tspan), :] = jnp.where(
+                    hit, nv_t, cv_tile)
 
-        actives_ref[slot] = jnp.where(active, 1, 0)
+            # All kv heads fold into a single (h, kvh*s) score matrix: the
+            # cache block (kvh, s, d) is viewed as (kvh*s, d) (a free
+            # reshape — merged leading dims, s % 8 == 0), one MXU dot
+            # computes every (query-head, key) pair, and a block-diagonal
+            # mask keeps only same-group pairs. kvh-times redundant MXU
+            # work, but it turns 2*kvh tiny latency-bound dots per row
+            # into 2 larger ones.
+            keys = dequant(ck_ref[g].reshape(ks, d), k_scale)    # (kvh*s, Dp)
+            values = dequant(cv_ref[g].reshape(ks, d), v_scale)  # (kvh*s, Dp)
+            qh = q_ref[g].astype(compute_dtype)  # (h, Dp)
 
-        # last program drains everything still in flight
-        @pl.when(b == nprog - 1)
-        def _():
-            @pl.when((nprog >= 2) & (actives_ref[1 - slot] == 1))
-            def _():
-                _wait(1 - slot)
+            scores = jax.lax.dot_general(
+                qh, keys,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_d  # (h, kvh*s)
 
-            @pl.when(actives_ref[slot] == 1)
+            qrow = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 0)
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 1)
+            same_group = (qrow // rep) == (kcol // s_max)
+            valid = jax.lax.rem(kcol, s_max) <= length
+            scores = jnp.where(same_group & valid, scores, -1e30)
+
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                compute_dtype
+            )  # zero outside the block diagonal: the dot re-separates heads
+
+            out_h = jax.lax.dot_general(
+                probs, values,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (h, Dp)
+            out_ref[g] = out_h.astype(out_ref.dtype)
+
+            # DMA back only the sublane-tile containing the new-token row
+            # (DMA slices must be tile-aligned; the rest of the tile holds
+            # unchanged data so rewriting it is a no-op). The dirty tile is
+            # staged through a double-buffered scratch so the DMA overlaps
+            # later rows/programs — waits are deferred by two programs
+            # instead of stalling inline. Inactive rows write nothing.
+            wstart = jnp.minimum((wpos // align) * align,
+                                 jnp.int32(max(s_max - align, 0)))
+            wstart = pl.multiple_of(wstart, align)
+            if stacked:
+                dst_k = ck_hbm.at[layer, b, :, pl.ds(wstart, span), :]
+                dst_v = cv_hbm.at[layer, b, :, pl.ds(wstart, span), :]
+            else:
+                dst_k = ck_hbm.at[b, :, pl.ds(wstart, span), :]
+                dst_v = cv_hbm.at[b, :, pl.ds(wstart, span), :]
+
+            def _wait(slot_idx, g=g, dst_k=dst_k, dst_v=dst_v):
+                # transfer sizes are identical across programs, so a
+                # descriptor built from the current refs decrements the
+                # right amount
+                pltpu.make_async_copy(
+                    stage_k.at[slot_idx, g], dst_k, sem.at[slot_idx, 0, g]
+                ).wait()
+                pltpu.make_async_copy(
+                    stage_v.at[slot_idx, g], dst_v, sem.at[slot_idx, 1, g]
+                ).wait()
+
+            # before reusing this slot's stage buffers, drain the DMA
+            # issued two programs ago (actives_ref tracks per-row issue)
+            @pl.when((gi >= 2) & (actives_ref[slot, g] == 1))
             def _():
                 _wait(slot)
+
+            @pl.when(active)
+            def _(g=g, wstart=wstart, dst_k=dst_k, dst_v=dst_v):
+                stage_k[slot, g] = ck_ref[g, :, pl.ds(wstart, span), :]
+                stage_v[slot, g] = cv_ref[g, :, pl.ds(wstart, span), :]
+                pltpu.make_async_copy(stage_k.at[slot, g], dst_k,
+                                      sem.at[slot, 0, g]).start()
+                pltpu.make_async_copy(stage_v.at[slot, g], dst_v,
+                                      sem.at[slot, 1, g]).start()
+
+            actives_ref[slot, g] = jnp.where(active, 1, 0)
+
+            # last program drains everything still in flight for this row
+            @pl.when(gi == nprog - 1)
+            def _(g=g):
+                @pl.when((nprog >= 2) & (actives_ref[1 - slot, g] == 1))
+                def _():
+                    _wait(1 - slot)
+
+                @pl.when(actives_ref[slot, g] == 1)
+                def _():
+                    _wait(slot)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kvh", "rep", "d", "true_d", "layer"),
+    static_argnames=("kvh", "rep", "d", "true_d"),
 )
 def decode_attention(
     q: jnp.ndarray,        # (B, H, Dp) post-RoPE queries (lane-padded)
@@ -237,23 +258,41 @@ def decode_attention(
     if stacked:
         assert layer is not None
         _, b, _, s_max, dp = cache_k.shape
-        cache_block = (1, 1, kvh, s_max, dp)
-        lyr = layer
-        cache_index = lambda i, *_: (lyr, i, 0, 0, 0)  # noqa: E731
     else:
         b, _, s_max, dp = cache_k.shape
-        cache_block = (1, kvh, s_max, dp)
+    # the layer index is a *traced* scalar-prefetch operand: every layer of
+    # a stacked cache shares one compiled kernel (22x fewer Mosaic compiles
+    # than a static layer index baked into 22 specializations)
+    lyr_arr = jnp.asarray(0 if layer is None else layer,
+                          jnp.int32).reshape(1)
+
+    # rows per program: amortize the fixed grid-step cost (~0.4us of
+    # latency-bound small dots + orchestration per row at 1 row/program)
+    # over several rows, bounded by the VMEM block budget.
+    row_bytes = kvh * s_max * dp * jnp.dtype(cache_k.dtype).itemsize
+    g_rows = 1
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * row_bytes <= 2 * 1024 * 1024:
+            g_rows = cand
+            break
+
+    if stacked:
+        cache_block = (1, g_rows, kvh, s_max, dp)
+        cache_index = (  # noqa: E731
+            lambda i, lens_ref, lyr_ref: (lyr_ref[0], i, 0, 0, 0))
+    else:
+        cache_block = (g_rows, kvh, s_max, dp)
         cache_index = lambda i, *_: (i, 0, 0, 0)  # noqa: E731
     h = kvh * rep
     compute_dtype = q.dtype
     has_scales = k_scale is not None
 
     in_specs = [
-        pl.BlockSpec((1, h, dp), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((g_rows, h, dp), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kvh, dp), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((g_rows, kvh, dp), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kvh, dp), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((g_rows, kvh, dp), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(cache_block, cache_index, memory_space=pltpu.VMEM),
         pl.BlockSpec(cache_block, cache_index, memory_space=pltpu.VMEM),
@@ -270,11 +309,11 @@ def decode_attention(
     align = 32 if jnp.dtype(cache_k.dtype).itemsize == 1 else 8
     span = min(align, s_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
+        num_scalar_prefetch=2,
+        grid=(b // g_rows,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, h, dp), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((g_rows, h, dp), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # cache outputs stay in HBM, aliased onto the inputs: no block
             # write-back; the kernel DMAs only the dirty tile
@@ -282,10 +321,10 @@ def decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, kvh, span, dp), cache_k.dtype),  # stage_k
-            pltpu.VMEM((2, kvh, span, dp), cache_k.dtype),  # stage_v
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SMEM((2,), jnp.int32),                    # issued flags
+            pltpu.VMEM((2, g_rows, kvh, span, dp), cache_k.dtype),  # stage_k
+            pltpu.VMEM((2, g_rows, kvh, span, dp), cache_k.dtype),  # stage_v
+            pltpu.SemaphoreType.DMA((2, 2, g_rows)),
+            pltpu.SMEM((2, g_rows), jnp.int32),             # issued flags
         ],
     )
 
@@ -293,26 +332,26 @@ def decode_attention(
     # layout has a leading layer axis of size 1; drop it via static index 0
     inv_sqrt_d = 1.0 / float(np.sqrt(true_d if true_d is not None else dp))
     kernel = _make_kernel(kvh, rep, dp, s_max, cache_k.dtype, compute_dtype,
-                          has_scales, inv_sqrt_d, stacked, layer)
+                          has_scales, inv_sqrt_d, stacked, g_rows)
     if stacked:
         inner = kernel
 
-        def kernel(lens_ref, *refs):  # noqa: F811
+        def kernel(lens_ref, lyr_ref, *refs):  # noqa: F811
             if has_scales:
                 (q_ref, newk_ref, newv_ref, ck_ref, cv_ref, ks, vs,
                  out_ref, ck_hbm, cv_hbm, *scratch) = refs
-                inner(lens_ref, q_ref, newk_ref, newv_ref,
+                inner(lens_ref, lyr_ref, q_ref, newk_ref, newv_ref,
                       ck_ref.at[0], cv_ref.at[0], ks, vs,
                       out_ref, ck_hbm, cv_hbm, *scratch)
             else:
                 (q_ref, newk_ref, newv_ref, ck_ref, cv_ref,
                  out_ref, ck_hbm, cv_hbm, *scratch) = refs
-                inner(lens_ref, q_ref, newk_ref, newv_ref,
+                inner(lens_ref, lyr_ref, q_ref, newk_ref, newv_ref,
                       ck_ref.at[0], cv_ref.at[0],
                       out_ref, ck_hbm, cv_hbm, *scratch)
 
-    # alias the caches: operand index counts the scalar-prefetch arg first
-    aliases = {4: 1, 5: 2}
+    # alias the caches: operand index counts the scalar-prefetch args first
+    aliases = {5: 1, 6: 2}
 
     out, ck, cv = pl.pallas_call(
         kernel,
@@ -324,5 +363,5 @@ def decode_attention(
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
-    )(lengths, *args)
+    )(lengths, lyr_arr, *args)
     return out, ck, cv

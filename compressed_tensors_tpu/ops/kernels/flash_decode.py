@@ -48,14 +48,15 @@ def _interpret() -> bool:
 
 def _make_kernel(kvh: int, rep: int, dp: int, s_max: int, chunk: int,
                  cache_dtype, compute_dtype, has_scales: bool,
-                 inv_sqrt_d: float, layer: int, nb: int):
+                 inv_sqrt_d: float, nb: int):
     h = kvh * rep
     kc = kvh * chunk
     byte1 = jnp.dtype(cache_dtype).itemsize == 1
     walign = 32 if byte1 else 8
     span = min(walign, chunk)
 
-    def kernel(lens_ref, *refs):
+    def kernel(lens_ref, lyr_ref, *refs):
+        layer = lyr_ref[0]
         if has_scales:
             (q_ref, newk_ref, newv_ref, kscale_ref, vscale_ref,
              _ck_in, _cv_in, out_ref, ck_hbm, cv_hbm,
@@ -294,7 +295,7 @@ def _make_kernel(kvh: int, rep: int, dp: int, s_max: int, chunk: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kvh", "rep", "d", "true_d", "layer", "chunk"),
+    static_argnames=("kvh", "rep", "d", "true_d", "chunk"),
 )
 def flash_decode_attention(
     q: jnp.ndarray,        # (B, H, Dp) post-RoPE queries
@@ -309,7 +310,7 @@ def flash_decode_attention(
     k_scale: jnp.ndarray | None = None,
     v_scale: jnp.ndarray | None = None,
     true_d: int | None = None,
-    layer: int = 0,
+    layer: int | jnp.ndarray = 0,
     chunk: int = 64,
 ):
     """Returns (out (B, H, Dp), cache_k, cache_v); caches update in place.
@@ -349,7 +350,7 @@ def flash_decode_attention(
     span = min(walign, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=in_specs,
         out_specs=(
@@ -373,14 +374,17 @@ def flash_decode_attention(
     )
 
     inv_sqrt_d = 1.0 / float(np.sqrt(true_d if true_d is not None else dp))
-    # operand indices count the scalar-prefetch arg first
+    # operand indices count the scalar-prefetch args first
     if has_scales:
-        arg_index = {6: 1, 7: 2}
+        arg_index = {7: 1, 8: 2}
     else:
-        arg_index = {4: 1, 5: 2}
+        arg_index = {5: 1, 6: 2}
 
+    # traced layer index (scalar prefetch): one compiled kernel serves every
+    # layer of the stacked cache instead of L static specializations
+    lyr_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     kernel = _make_kernel(kvh, rep, dp, s_max, chunk, cache_k.dtype,
-                          compute_dtype, has_scales, inv_sqrt_d, layer, NLB)
+                          compute_dtype, has_scales, inv_sqrt_d, NLB)
 
     out, ck, cv = pl.pallas_call(
         kernel,
@@ -392,5 +396,5 @@ def flash_decode_attention(
         ),
         input_output_aliases=arg_index,
         interpret=_interpret(),
-    )(lengths, *args)
+    )(lengths, lyr_arr, *args)
     return out, ck, cv

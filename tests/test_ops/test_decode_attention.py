@@ -85,3 +85,47 @@ def test_fused_decode_fp8_kv(rng, tmp_path):
     eager = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
                            fused=False)
     np.testing.assert_allclose(fused, eager, atol=5e-2, rtol=5e-2)
+
+
+def test_multi_row_programs_mixed_lengths(rng):
+    """Direct kernel test at B=16 (multi-row programs): varying lengths,
+    inactive (negative-length) rows leave the cache untouched."""
+    from compressed_tensors_tpu.ops.kernels.decode_attention import (
+        decode_attention,
+    )
+
+    B, KVH, REP, S, D = 16, 2, 4, 24, 128
+    H = KVH * REP
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+    lens = jnp.asarray(
+        [5, -1, 0, 7, 3, 9, -1, 1, 8, 2, 6, 4, -1, 10, 11, 12], jnp.int32
+    )
+
+    out, ck2, cv2 = decode_attention(q, nk, nv, ck, cv, lens, kvh=KVH,
+                                     rep=REP, d=D)
+
+    ck0, cv0 = np.asarray(ck), np.asarray(cv)
+    for b in range(B):
+        ln = int(lens[b])
+        if ln < 0:
+            np.testing.assert_array_equal(np.asarray(ck2)[b], ck0[b])
+            np.testing.assert_array_equal(np.asarray(cv2)[b], cv0[b])
+            continue
+        # cache row at position `ln` now holds the new token
+        np.testing.assert_allclose(np.asarray(ck2)[b, :, ln],
+                                   np.asarray(nk)[b], rtol=1e-6)
+        # reference attention over the valid prefix (post-append)
+        keys = np.asarray(ck2)[b]      # (KVH, S, D)
+        vals = np.asarray(cv2)[b]
+        for hh in range(H):
+            g = hh // REP
+            s = (np.asarray(q)[b, hh] @ keys[g, : ln + 1].T) / np.sqrt(D)
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            expect = p @ vals[g, : ln + 1]
+            np.testing.assert_allclose(np.asarray(out)[b, hh], expect,
+                                       atol=1e-4, rtol=1e-4)
