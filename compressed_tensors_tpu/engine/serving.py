@@ -24,7 +24,9 @@ import numpy as np
 from compressed_tensors_tpu.models.config import LlamaConfig
 from compressed_tensors_tpu.models.llama import (
     KVCache,
+    PagedKVCache,
     init_kv_cache,
+    init_paged_kv_cache,
     llama_forward,
 )
 
@@ -70,6 +72,9 @@ class ServingEngine:
         dtype=jnp.bfloat16,
         cache_dtype=None,
         steps_per_sync: int = 1,
+        paged: bool = False,
+        page_size: int = 64,
+        num_pages: Optional[int] = None,
     ):
         self.params = params
         self.config = config
@@ -78,10 +83,24 @@ class ServingEngine:
         self.prefill_chunk = prefill_chunk
         self.dtype = dtype
         self.steps_per_sync = max(1, int(steps_per_sync))
+        self.paged = paged
 
-        self.cache: KVCache = init_kv_cache(
-            config, max_batch, max_len, dtype=dtype, cache_dtype=cache_dtype
-        )
+        if paged:
+            self.cache = init_paged_kv_cache(
+                config, max_batch, max_len, num_pages=num_pages,
+                page_size=page_size, dtype=dtype, cache_dtype=cache_dtype,
+            )
+            # host-side page allocator: free list over the pool (page 0 is
+            # the null page), per-slot owned-page lists
+            self._free_pages = deque(range(1, self.cache.k.shape[1]))
+            self._slot_pages: list[list[int]] = [
+                [] for _ in range(max_batch)
+            ]
+        else:
+            self.cache: KVCache = init_kv_cache(
+                config, max_batch, max_len, dtype=dtype,
+                cache_dtype=cache_dtype,
+            )
         self.tokens = jnp.zeros((max_batch,), dtype=jnp.int32)
 
         # host-side slot state
@@ -109,7 +128,7 @@ class ServingEngine:
             (kernel and eager paths both honor it) — the cache is never
             copy-masked.
             """
-            B = cache.k.shape[1]
+            B = cache.lengths.shape[0]
             row = jnp.zeros((B, chunk), dtype=jnp.int32)
             row = jax.lax.dynamic_update_index_in_dim(
                 row, chunk_ids, slot, axis=0
@@ -120,7 +139,7 @@ class ServingEngine:
             lengths = cache.lengths
             is_slot = jnp.arange(B) == slot
             fwd_lengths = jnp.where(is_slot, start, -1).astype(jnp.int32)
-            fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
+            fwd_cache = dataclasses.replace(cache, lengths=fwd_lengths)
             # `fresh` (static) routes the first chunk (start == 0) through
             # the flash-prefill kernel; continuation chunks attend over the
             # existing prefix via the jnp path
@@ -130,8 +149,8 @@ class ServingEngine:
             next_token = jnp.argmax(
                 logits[slot, true_len - 1, :]
             ).astype(jnp.int32)
-            return (KVCache(k=new_cache.k, v=new_cache.v,
-                            lengths=new_lengths), next_token)
+            return (dataclasses.replace(new_cache, lengths=new_lengths),
+                    next_token)
 
         @partial(jax.jit, donate_argnames=("cache",))
         def decode_step(params, cache, tokens, active):
@@ -142,7 +161,7 @@ class ServingEngine:
             lengths = cache.lengths
             fwd_lengths = jnp.where(active_b, lengths, -1).astype(jnp.int32)
             positions = fwd_lengths[:, None]
-            fwd_cache = KVCache(k=cache.k, v=cache.v, lengths=fwd_lengths)
+            fwd_cache = dataclasses.replace(cache, lengths=fwd_lengths)
             logits, new_cache = llama_forward(
                 params, config, tokens[:, None], positions, fwd_cache
             )
@@ -151,8 +170,8 @@ class ServingEngine:
             )
             new_lengths = jnp.where(active_b, lengths + 1, lengths)
             next_tokens = jnp.where(active_b, next_tokens, tokens)
-            return (KVCache(k=new_cache.k, v=new_cache.v,
-                            lengths=new_lengths), next_tokens)
+            return (dataclasses.replace(new_cache, lengths=new_lengths),
+                    next_tokens)
 
         @partial(jax.jit, static_argnames=("k",), donate_argnames=("cache",))
         def decode_burst(params, cache, tokens, active, k: int):
@@ -166,8 +185,7 @@ class ServingEngine:
                 fwd_lengths = jnp.where(active_b, lengths, -1).astype(
                     jnp.int32
                 )
-                fwd_cache = KVCache(k=cache.k, v=cache.v,
-                                    lengths=fwd_lengths)
+                fwd_cache = dataclasses.replace(cache, lengths=fwd_lengths)
                 logits, new_cache = llama_forward(
                     params, config, tokens[:, None], fwd_lengths[:, None],
                     fwd_cache,
@@ -175,8 +193,7 @@ class ServingEngine:
                 nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
                 nxt = jnp.where(active_b, nxt, tokens)
                 new_lengths = jnp.where(active_b, lengths + 1, lengths)
-                cache = KVCache(k=new_cache.k, v=new_cache.v,
-                                lengths=new_lengths)
+                cache = dataclasses.replace(new_cache, lengths=new_lengths)
                 return (cache, nxt), nxt
 
             (cache, tokens), trace = jax.lax.scan(
@@ -195,6 +212,30 @@ class ServingEngine:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self.slot_requests) if r is None]
 
+    def _ensure_pages(self, slot: int, upto_len: int) -> None:
+        """Allocate pages so `slot`'s table covers positions [0, upto_len)
+        (paged mode only)."""
+        page = self.cache.page_size
+        need = -(-min(upto_len, self.max_len) // page)
+        owned = self._slot_pages[slot]
+        if need <= len(owned):
+            return
+        grabbed = []
+        for _ in range(need - len(owned)):
+            if not self._free_pages:
+                for pid in grabbed:  # roll back; caller decides what to do
+                    self._free_pages.appendleft(pid)
+                raise RuntimeError(
+                    "paged KV pool exhausted: raise num_pages or lower "
+                    "max_batch/max_len (preemption is not implemented)"
+                )
+            grabbed.append(self._free_pages.popleft())
+        tables = self.cache.tables
+        for i, pid in enumerate(grabbed, start=len(owned)):
+            tables = tables.at[slot, i].set(pid)
+        owned.extend(grabbed)
+        self.cache = dataclasses.replace(self.cache, tables=tables)
+
     def _admit(self) -> None:
         """Prefill queued requests into free slots (chunked)."""
         for slot in self._free_slots():
@@ -205,10 +246,12 @@ class ServingEngine:
             if len(ids) + req.max_new_tokens > self.max_len:
                 ids = ids[-(self.max_len - req.max_new_tokens):]
             # reset slot length to 0
-            self.cache = KVCache(
-                k=self.cache.k, v=self.cache.v,
-                lengths=self.cache.lengths.at[slot].set(0),
+            self.cache = dataclasses.replace(
+                self.cache, lengths=self.cache.lengths.at[slot].set(0)
             )
+            if self.paged:
+                # prompt + the first decode step's write position
+                self._ensure_pages(slot, len(ids) + 1)
             start = 0
             chunk = self.prefill_chunk
             next_token = None
@@ -259,6 +302,15 @@ class ServingEngine:
                 ))
                 self.slot_requests[slot] = None
                 self.slot_outputs[slot] = []
+                if self.paged and self._slot_pages[slot]:
+                    # return pages to the pool; table row points back at
+                    # the null page
+                    self._free_pages.extend(self._slot_pages[slot])
+                    self._slot_pages[slot] = []
+                    self.cache = dataclasses.replace(
+                        self.cache,
+                        tables=self.cache.tables.at[slot].set(0),
+                    )
 
     def step(self) -> None:
         """One engine iteration: admit, decode (burst), collect, retire."""
@@ -283,6 +335,13 @@ class ServingEngine:
             remaining = req.max_new_tokens - len(self.slot_outputs[slot])
             cap = self.max_len - 1 - int(lengths[slot])
             burst = min(burst, max(1, min(remaining, cap)))
+
+        if self.paged:
+            # every step writes at the slot's current length: cover the
+            # whole burst's write positions before dispatch
+            for slot, req in enumerate(self.slot_requests):
+                if req is not None:
+                    self._ensure_pages(slot, int(lengths[slot]) + burst)
 
         if burst == 1:
             self.cache, self.tokens = self._decode_step(

@@ -34,8 +34,10 @@ __all__ = [
     "LlamaConfig",
     "llama_forward",
     "init_kv_cache",
+    "init_paged_kv_cache",
     "load_llama_params",
     "KVCache",
+    "PagedKVCache",
 ]
 
 
@@ -87,6 +89,56 @@ def init_kv_cache(
     return KVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
+        lengths=jnp.zeros((batch,), dtype=jnp.int32),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """vLLM-style paged KV cache: a global page pool with per-sequence page
+    tables. Cache HBM is allocated in fixed pages on demand (engine-side
+    free list) instead of a max_len slab per slot. Page 0 is the null page:
+    unallocated table entries and inactive rows point at it; its contents
+    are garbage and never read into a live sequence."""
+
+    k: jnp.ndarray        # (L, NP, KVH, page, Dp) pool
+    v: jnp.ndarray
+    tables: jnp.ndarray   # (B, P_max) int32 page ids
+    lengths: jnp.ndarray  # (B,) int32 valid prefix length per sequence
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def max_len(self) -> int:
+        return self.tables.shape[1] * self.k.shape[3]
+
+
+def init_paged_kv_cache(
+    config: LlamaConfig,
+    batch: int,
+    max_len: int,
+    num_pages: int | None = None,
+    page_size: int = 64,
+    dtype=jnp.bfloat16,
+    cache_dtype=None,
+) -> PagedKVCache:
+    """:param num_pages: pool size (default: full residency for `batch`
+    sequences of `max_len` + the null page — no oversubscription). Serving
+    engines pass less to oversubscribe HBM."""
+    cd = cache_dtype or dtype
+    p_max = int(np.ceil(max_len / page_size))
+    if num_pages is None:
+        num_pages = batch * p_max + 1
+    shape = (config.num_hidden_layers, num_pages,
+             config.num_key_value_heads, page_size,
+             padded_head_dim(config.head_dim))
+    return PagedKVCache(
+        k=jnp.zeros(shape, dtype=cd),
+        v=jnp.zeros(shape, dtype=cd),
+        tables=jnp.zeros((batch, p_max), dtype=jnp.int32),
         lengths=jnp.zeros((batch,), dtype=jnp.int32),
     )
 
@@ -153,6 +205,7 @@ def _attention(
     config: LlamaConfig,
     positions: jnp.ndarray,  # (B, S) query positions
     fresh_prefill: bool = False,  # static: cache is known-empty (lens all 0)
+    tables: jnp.ndarray | None = None,  # (B, P) page tables (paged cache)
 ):
     B, S, _ = x.shape
     H = config.num_attention_heads
@@ -198,6 +251,53 @@ def _attention(
 
     Dp = kv_k_all.shape[-1]  # lane-padded head dim (cache layout)
 
+    if tables is not None and S == 1 and _kernel_enabled() and \
+            (k_scale is None) == (v_scale is None):
+        from compressed_tensors_tpu.ops.kernels.paged_decode import (
+            paged_decode_attention,
+        )
+
+        pad = [(0, 0)] * 3 + [(0, Dp - D)]
+        out, ck, cv = paged_decode_attention(
+            jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
+            jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
+            jnp.pad(v, pad)[:, 0],
+            kv_k_all, kv_v_all, tables, cache_lens,
+            kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
+            k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+        )
+        out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
+        return quantized_matmul(out, layer["o_proj"]), ck, cv
+
+    if tables is not None:
+        # paged prefill / eager path: gather the rows' pages into a
+        # contiguous per-row view, run the dense logic, scatter the pages
+        # back. Costs one pool gather+scatter per layer — prefill-only
+        # traffic; decode uses the paged kernel above.
+        P = tables.shape[1]
+        page = kv_k_all.shape[3]
+        gk = jnp.take(kv_k_all[layer_idx], tables, axis=0)  # (B,P,KVH,pg,Dp)
+        gv = jnp.take(kv_v_all[layer_idx], tables, axis=0)
+        dense_k = gk.transpose(0, 2, 1, 3, 4).reshape(B, KVH, P * page, Dp)
+        dense_v = gv.transpose(0, 2, 1, 3, 4).reshape(B, KVH, P * page, Dp)
+        out, nk, nv = _attention_dense_tail(
+            layer, x, q, k, v, dense_k, dense_v, cache_lens, config,
+            positions, fresh_prefill, k_scale, v_scale)
+        # scatter back (duplicate table ids only ever reference the null
+        # page 0, whose contents are garbage by contract)
+        nk_pages = nk.reshape(B, KVH, P, page, Dp).transpose(0, 2, 1, 3, 4)
+        nv_pages = nv.reshape(B, KVH, P, page, Dp).transpose(0, 2, 1, 3, 4)
+        flat_idx = tables.reshape(-1)
+        pool_k = kv_k_all[layer_idx].at[flat_idx].set(
+            nk_pages.reshape(B * P, KVH, page, Dp))
+        pool_v = kv_v_all[layer_idx].at[flat_idx].set(
+            nv_pages.reshape(B * P, KVH, page, Dp))
+        kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, pool_k,
+                                                       layer_idx, 0)
+        kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, pool_v,
+                                                       layer_idx, 0)
+        return out, kv_k_all, kv_v_all
+
     if S == 1 and _kernel_enabled() and (k_scale is None) == (v_scale is None):
         import os as _os
 
@@ -240,8 +340,44 @@ def _attention(
         out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
         return quantized_matmul(out, layer["o_proj"]), ck, cv
 
+    # dense (per-slot slab) cache: run the shared tail on this layer's
+    # (B, KVH, S_pad, Dp) slice and write it back into the stacked buffer
+    out, kv_k, kv_v = _attention_dense_tail(
+        layer, x, q, k, v, kv_k_all[layer_idx], kv_v_all[layer_idx],
+        cache_lens, config, positions, fresh_prefill, k_scale, v_scale)
+    kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, kv_k,
+                                                   layer_idx, 0)
+    kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, kv_v,
+                                                   layer_idx, 0)
+    return out, kv_k_all, kv_v_all
+
+
+def _attention_dense_tail(
+    layer: dict,
+    x: jnp.ndarray,
+    q: jnp.ndarray,  # (B, S, H, D) post-RoPE
+    k: jnp.ndarray,  # (B, S, KVH, D) post-RoPE
+    v: jnp.ndarray,
+    cache_k_l: jnp.ndarray,  # (B, KVH, T, Dp) this layer's contiguous view
+    cache_v_l: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    config: LlamaConfig,
+    positions: jnp.ndarray,
+    fresh_prefill: bool,
+    k_scale,
+    v_scale,
+):
+    """K/V write + attention over a contiguous per-row cache view. Shared
+    by the dense cache (the view IS the cache slice) and the paged cache's
+    prefill/eager path (the view is gathered from / scattered to pages)."""
+    B, S, H, D = q.shape
+    KVH = config.num_key_value_heads
+    Dp = cache_k_l.shape[-1]
+    cache_dtype = cache_k_l.dtype
+    from compressed_tensors_tpu.ops.linear import _kernel_enabled
+
     # write new K/V into each slot at its own offset [len_b, len_b + S):
-    # cache layout (B, KVH, S_pad, Dp)
+    # cache layout (B, KVH, T, Dp)
     pad = [(0, 0)] * 3 + [(0, Dp - D)]
     k_c = _quantize_to_cache(jnp.pad(k, pad), k_scale, cache_dtype)
     v_c = _quantize_to_cache(jnp.pad(v, pad), v_scale, cache_dtype)
@@ -255,12 +391,8 @@ def _attention(
         )
         return jnp.where(off >= 0, upd, cache_b)
 
-    kv_k = jax.vmap(_write_row)(kv_k_all[layer_idx], k_c, cache_lens)
-    kv_v = jax.vmap(_write_row)(kv_v_all[layer_idx], v_c, cache_lens)
-    kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, kv_k,
-                                                   layer_idx, 0)
-    kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, kv_v,
-                                                   layer_idx, 0)
+    kv_k = jax.vmap(_write_row)(cache_k_l, k_c, cache_lens)
+    kv_v = jax.vmap(_write_row)(cache_v_l, v_c, cache_lens)
 
     if S > 1 and fresh_prefill and _kernel_enabled():
         # flash prefill: streams scores through VMEM instead of
@@ -277,7 +409,7 @@ def _attention(
             0, 2, 1, 3)[..., :D]
         out = prefill_attention(q, k_a, v_a)
         out = out.reshape(B, S, H * D).astype(x.dtype)
-        return quantized_matmul(out, layer["o_proj"]), kv_k_all, kv_v_all
+        return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
 
     keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)[..., :D]
     values = _dequantize_from_cache(kv_v, v_scale, x.dtype)[..., :D]
@@ -304,7 +436,7 @@ def _attention(
     out = jnp.einsum("bkrst,bktd->bskrd", probs, values,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(B, S, H * D)
-    return quantized_matmul(out, layer["o_proj"]), kv_k_all, kv_v_all
+    return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
 
 
 def _mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig) -> jnp.ndarray:
@@ -351,6 +483,7 @@ def llama_forward(
     if kv_cache is None:
         kv_cache = init_kv_cache(config, B, S, dtype=x.dtype)
     cache_lens = kv_cache.lengths
+    tables = kv_cache.tables if isinstance(kv_cache, PagedKVCache) else None
 
     # the stacked cache buffers thread through every layer; in the fused
     # decode path each layer's kernel aliases them in place, so the whole
@@ -360,7 +493,7 @@ def llama_forward(
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
         attn_out, kv_k_all, kv_v_all = _attention(
             layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
-            config, positions, fresh_prefill=fresh_prefill,
+            config, positions, fresh_prefill=fresh_prefill, tables=tables,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
@@ -378,7 +511,11 @@ def llama_forward(
             preferred_element_type=jnp.float32,
         )
 
-    kv_cache = KVCache(k=kv_k_all, v=kv_v_all, lengths=cache_lens + S)
+    if tables is not None:
+        kv_cache = PagedKVCache(k=kv_k_all, v=kv_v_all, tables=tables,
+                                lengths=cache_lens + S)
+    else:
+        kv_cache = KVCache(k=kv_k_all, v=kv_v_all, lengths=cache_lens + S)
     return logits, kv_cache
 
 

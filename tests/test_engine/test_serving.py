@@ -141,3 +141,47 @@ def test_burst_decode_eos_truncation(rng, tmp_path):
     (c1,), (c8,) = engine1.run(), engine8.run()
     assert c1.output_ids == c8.output_ids
     assert c8.finish_reason == c1.finish_reason
+
+
+def test_paged_engine_matches_dense(rng, tmp_path):
+    """Paged engine (page pool + tables, pool sized for oversubscription
+    pressure) produces identical completions to the dense-slab engine,
+    including slot recycling/page reuse across sequential requests."""
+    engine, params, config = _engine(
+        rng, tmp_path, max_batch=2, max_len=32, prefill_chunk=4,
+        paged=True, page_size=8, num_pages=2 * 4 + 2,
+    )
+    dense, _, _ = _engine(rng, tmp_path, max_batch=2, max_len=32,
+                          prefill_chunk=4)
+    # reuse the SAME params so logits match exactly
+    dense.params = engine.params
+
+    prompts = [rng.integers(0, config.vocab_size, size=(n,)).tolist()
+               for n in (6, 3, 9, 5)]
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=6))
+        dense.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=6))
+
+    got = {c.request_id: c.output_ids for c in engine.run()}
+    ref = {c.request_id: c.output_ids for c in dense.run()}
+    assert set(got) == {0, 1, 2, 3}
+    for rid in ref:
+        assert got[rid] == ref[rid], rid
+    # all pages returned to the free list after completion
+    assert len(engine._free_pages) == engine.cache.k.shape[1] - 1
+
+
+def test_paged_pool_exhaustion_raises(rng, tmp_path):
+    engine, _, config = _engine(
+        rng, tmp_path, max_batch=2, max_len=32, prefill_chunk=4,
+        paged=True, page_size=8, num_pages=2,  # 1 usable page
+    )
+    engine.submit(Request(
+        request_id=0,
+        prompt_ids=rng.integers(0, config.vocab_size, size=(12,)).tolist(),
+        max_new_tokens=4,
+    ))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pool exhausted"):
+        engine.run()
