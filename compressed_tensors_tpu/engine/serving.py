@@ -13,7 +13,8 @@ the engine BASELINE.json demands.
 from __future__ import annotations
 
 import dataclasses
-from collections import deque
+import hashlib
+from collections import OrderedDict, deque
 from functools import partial
 from typing import Callable, Optional
 
@@ -75,6 +76,7 @@ class ServingEngine:
         paged: bool = False,
         page_size: int = 64,
         num_pages: Optional[int] = None,
+        prefix_caching: bool = True,
     ):
         self.params = params
         self.config = config
@@ -84,6 +86,7 @@ class ServingEngine:
         self.dtype = dtype
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.paged = paged
+        self.prefix_caching = paged and prefix_caching
 
         if paged:
             self.cache = init_paged_kv_cache(
@@ -96,6 +99,16 @@ class ServingEngine:
             self._slot_pages: list[list[int]] = [
                 [] for _ in range(max_batch)
             ]
+            # automatic prefix caching (vLLM-style): full prompt pages are
+            # content-addressed by a sha256 hash chain over (parent digest,
+            # page tokens). Refcount-0 registered pages park in an LRU of
+            # reusable free pages and are only evicted (index removal) when
+            # the plain free list runs dry.
+            self._page_ref: dict[int, int] = {}
+            self._prefix_index: dict[bytes, int] = {}
+            self._page_digest: dict[int, bytes] = {}
+            self._cached_free: "OrderedDict[int, bytes]" = OrderedDict()
+            self.prefix_cache_hits = 0  # pages reused across requests
         else:
             self.cache: KVCache = init_kv_cache(
                 config, max_batch, max_len, dtype=dtype,
@@ -212,6 +225,21 @@ class ServingEngine:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self.slot_requests) if r is None]
 
+    def _alloc_page(self) -> int:
+        """Pop a free page; evict the LRU refcount-0 prefix-cached page
+        when the plain free list is dry."""
+        if self._free_pages:
+            return self._free_pages.popleft()
+        if self._cached_free:
+            pid, digest = self._cached_free.popitem(last=False)
+            del self._prefix_index[digest]
+            del self._page_digest[pid]
+            return pid
+        raise RuntimeError(
+            "paged KV pool exhausted: raise num_pages or lower "
+            "max_batch/max_len (preemption is not implemented)"
+        )
+
     def _ensure_pages(self, slot: int, upto_len: int) -> None:
         """Allocate pages so `slot`'s table covers positions [0, upto_len)
         (paged mode only)."""
@@ -220,21 +248,65 @@ class ServingEngine:
         owned = self._slot_pages[slot]
         if need <= len(owned):
             return
-        grabbed = []
-        for _ in range(need - len(owned)):
-            if not self._free_pages:
-                for pid in grabbed:  # roll back; caller decides what to do
-                    self._free_pages.appendleft(pid)
-                raise RuntimeError(
-                    "paged KV pool exhausted: raise num_pages or lower "
-                    "max_batch/max_len (preemption is not implemented)"
-                )
-            grabbed.append(self._free_pages.popleft())
+        grabbed = [self._alloc_page() for _ in range(need - len(owned))]
         tables = self.cache.tables
         for i, pid in enumerate(grabbed, start=len(owned)):
+            self._page_ref[pid] = 1
             tables = tables.at[slot, i].set(pid)
         owned.extend(grabbed)
         self.cache = dataclasses.replace(self.cache, tables=tables)
+
+    @staticmethod
+    def _page_digests(ids: list[int], page: int) -> list[bytes]:
+        """sha256 hash chain over the prompt's full pages."""
+        digests = []
+        d = b"ct-tpu-prefix-root"
+        for i in range(len(ids) // page):
+            d = hashlib.sha256(
+                d + np.asarray(ids[i * page:(i + 1) * page],
+                               np.int64).tobytes()
+            ).digest()
+            digests.append(d)
+        return digests
+
+    def _match_prefix(self, slot: int, ids: list[int]) -> int:
+        """Point `slot`'s leading table entries at cached pages matching
+        the longest full-page prompt prefix; returns the matched token
+        count (always < len(ids) so the final token is recomputed for its
+        logits)."""
+        page = self.cache.page_size
+        digests = self._page_digests(ids, page)
+        if digests and len(digests) * page == len(ids):
+            digests = digests[:-1]  # keep >=1 token to prefill
+        matched: list[int] = []
+        for d in digests:
+            pid = self._prefix_index.get(d)
+            if pid is None:
+                break
+            matched.append(pid)
+        if not matched:
+            return 0
+        tables = self.cache.tables
+        for i, pid in enumerate(matched):
+            self._cached_free.pop(pid, None)  # back in active use
+            self._page_ref[pid] = self._page_ref.get(pid, 0) + 1
+            tables = tables.at[slot, i].set(pid)
+        self._slot_pages[slot] = list(matched)
+        self.cache = dataclasses.replace(self.cache, tables=tables)
+        self.prefix_cache_hits += len(matched)
+        return len(matched) * page
+
+    def _register_prefix(self, slot: int, ids: list[int]) -> None:
+        """Content-address the slot's now-full prompt pages for reuse."""
+        page = self.cache.page_size
+        owned = self._slot_pages[slot]
+        for i, d in enumerate(self._page_digests(ids, page)):
+            if i >= len(owned):
+                break
+            pid = owned[i]
+            if d not in self._prefix_index and pid not in self._page_digest:
+                self._prefix_index[d] = pid
+                self._page_digest[pid] = d
 
     def _admit(self) -> None:
         """Prefill queued requests into free slots (chunked)."""
@@ -249,10 +321,14 @@ class ServingEngine:
             self.cache = dataclasses.replace(
                 self.cache, lengths=self.cache.lengths.at[slot].set(0)
             )
+            start = 0
             if self.paged:
+                if self.prefix_caching:
+                    # reuse cached pages for the longest full-page prompt
+                    # prefix; prefill resumes after it
+                    start = self._match_prefix(slot, ids)
                 # prompt + the first decode step's write position
                 self._ensure_pages(slot, len(ids) + 1)
-            start = 0
             chunk = self.prefill_chunk
             next_token = None
             while start < len(ids):
@@ -278,6 +354,8 @@ class ServingEngine:
                     len(piece), bucket, start == 0,
                 )
                 start += len(piece)
+            if self.prefix_caching:
+                self._register_prefix(slot, ids)
             self.tokens = self.tokens.at[slot].set(next_token)
             self.slot_requests[slot] = req
             self.slot_outputs[slot] = [int(next_token)]
@@ -303,9 +381,19 @@ class ServingEngine:
                 self.slot_requests[slot] = None
                 self.slot_outputs[slot] = []
                 if self.paged and self._slot_pages[slot]:
-                    # return pages to the pool; table row points back at
-                    # the null page
-                    self._free_pages.extend(self._slot_pages[slot])
+                    # drop refs; refcount-0 pages return to the pool —
+                    # prefix-registered ones park in the reusable LRU, the
+                    # rest go straight to the free list. Table row points
+                    # back at the null page.
+                    for pid in self._slot_pages[slot]:
+                        self._page_ref[pid] -= 1
+                        if self._page_ref[pid] == 0:
+                            del self._page_ref[pid]
+                            if pid in self._page_digest:
+                                self._cached_free[pid] = \
+                                    self._page_digest[pid]
+                            else:
+                                self._free_pages.append(pid)
                     self._slot_pages[slot] = []
                     self.cache = dataclasses.replace(
                         self.cache,

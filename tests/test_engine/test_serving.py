@@ -167,8 +167,10 @@ def test_paged_engine_matches_dense(rng, tmp_path):
     assert set(got) == {0, 1, 2, 3}
     for rid in ref:
         assert got[rid] == ref[rid], rid
-    # all pages returned to the free list after completion
-    assert len(engine._free_pages) == engine.cache.k.shape[1] - 1
+    # all pages returned to the pool (free list or reusable prefix LRU)
+    assert (len(engine._free_pages) + len(engine._cached_free)
+            == engine.cache.k.shape[1] - 1)
+    assert not engine._page_ref
 
 
 def test_paged_pool_exhaustion_raises(rng, tmp_path):
@@ -185,3 +187,73 @@ def test_paged_pool_exhaustion_raises(rng, tmp_path):
 
     with pytest.raises(RuntimeError, match="pool exhausted"):
         engine.run()
+
+
+def test_prefix_caching_reuses_pages_and_matches(rng, tmp_path):
+    """Second request with a shared prompt prefix reuses cached pages
+    (prefill skips them) and still produces exactly the dense engine's
+    output."""
+    engine, params, config = _engine(
+        rng, tmp_path, max_batch=2, max_len=64, prefill_chunk=8,
+        paged=True, page_size=8,
+    )
+    dense, _, _ = _engine(rng, tmp_path, max_batch=2, max_len=64,
+                          prefill_chunk=8)
+    dense.params = engine.params
+
+    shared = rng.integers(0, config.vocab_size, size=(17,)).tolist()
+    tails = [rng.integers(0, config.vocab_size, size=(n,)).tolist()
+             for n in (3, 5)]
+    # run sequentially so request 1 admits after request 0 registered
+    outs, ref_outs = [], []
+    for i, tail in enumerate(tails):
+        engine.submit(Request(request_id=i, prompt_ids=shared + tail,
+                              max_new_tokens=4))
+        outs += engine.run()
+        dense.submit(Request(request_id=i, prompt_ids=shared + tail,
+                             max_new_tokens=4))
+        ref_outs += dense.run()
+
+    # 17+tail tokens at page 8 -> 2 full shared pages cached and reused
+    assert engine.prefix_cache_hits == 2
+    got = {c.request_id: c.output_ids for c in outs}
+    ref = {c.request_id: c.output_ids for c in ref_outs}
+    for rid in ref:
+        assert got[rid] == ref[rid], rid
+
+
+def test_prefix_cache_identical_prompt_exact_pages(rng, tmp_path):
+    """Prompt length an exact page multiple, submitted twice: all but the
+    last page reuse (>=1 token is always recomputed for its logits)."""
+    engine, params, config = _engine(
+        rng, tmp_path, max_batch=1, max_len=64, prefill_chunk=8,
+        paged=True, page_size=8,
+    )
+    prompt = rng.integers(0, config.vocab_size, size=(24,)).tolist()
+    engine.submit(Request(request_id=0, prompt_ids=prompt, max_new_tokens=3))
+    first = engine.run()[0].output_ids
+    engine.submit(Request(request_id=1, prompt_ids=prompt, max_new_tokens=3))
+    second = engine.run()[0].output_ids
+    assert engine.prefix_cache_hits == 2  # pages 0,1 of 3 (last recomputed)
+    assert first == second
+
+
+def test_prefix_cache_eviction_under_pressure(rng, tmp_path):
+    """A tight pool evicts LRU cached pages instead of failing, and
+    evicted prefixes simply re-prefill."""
+    engine, params, config = _engine(
+        rng, tmp_path, max_batch=1, max_len=32, prefill_chunk=8,
+        paged=True, page_size=8, num_pages=5,  # 4 usable pages
+    )
+    a = rng.integers(0, config.vocab_size, size=(17,)).tolist()
+    b = rng.integers(0, config.vocab_size, size=(17,)).tolist()
+    for rid, p in [(0, a), (1, b), (2, a)]:
+        engine.submit(Request(request_id=rid, prompt_ids=p,
+                              max_new_tokens=3))
+        engine.run()
+    # b's prefill (3 pages needed, 4-page pool with 2 cached from a)
+    # evicted at least one of a's pages; the engine stayed correct and
+    # kept serving. No page leaked:
+    total = (len(engine._free_pages) + len(engine._cached_free)
+             + len(engine._page_ref))
+    assert total == 4
