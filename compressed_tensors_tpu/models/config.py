@@ -34,6 +34,13 @@ class LlamaConfig:
     attention_bias: bool = False   # qkv-projection bias (Qwen2 family)
     qk_norm: bool = False          # per-head q/k RMSNorm (Qwen3 family)
 
+    # MLA (DeepSeek V2/V3 multi-head latent attention; 0 -> standard GQA)
+    q_lora_rank: int = 0           # 0 -> dense q_proj (V2-lite style)
+    kv_lora_rank: int = 0          # latent KV rank; >0 enables MLA
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+
     # MoE (0 experts -> dense MLP everywhere)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
@@ -45,6 +52,14 @@ class LlamaConfig:
     @property
     def is_moe(self) -> bool:
         return self.num_local_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
 
     def layer_is_moe(self, layer_idx: int) -> bool:
         return self.is_moe and layer_idx >= self.first_k_dense_replace
@@ -87,6 +102,11 @@ class LlamaConfig:
             ),
             # Qwen3 applies per-head q/k RMSNorm unconditionally
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            q_lora_rank=d.get("q_lora_rank") or 0,
+            kv_lora_rank=d.get("kv_lora_rank") or 0,
+            qk_nope_head_dim=d.get("qk_nope_head_dim") or 0,
+            qk_rope_head_dim=d.get("qk_rope_head_dim") or 0,
+            v_head_dim=d.get("v_head_dim") or 0,
             num_local_experts=num_experts,
             num_experts_per_tok=(
                 d.get("num_experts_per_tok") or d.get("top_k") or 2

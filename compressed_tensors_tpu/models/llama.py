@@ -84,8 +84,14 @@ def init_kv_cache(
     # O(length), so allocation slack costs only empty grid steps
     align = 64
     s_pad = int(np.ceil(max_len / align) * align)
-    shape = (config.num_hidden_layers, batch, config.num_key_value_heads,
-             s_pad, padded_head_dim(config.head_dim))
+    if config.is_mla:
+        # MLA caches one latent "head" per token: [c_kv ; k_pe]
+        kvh = 1
+        dp = padded_head_dim(config.kv_lora_rank + config.qk_rope_head_dim)
+    else:
+        kvh = config.num_key_value_heads
+        dp = padded_head_dim(config.head_dim)
+    shape = (config.num_hidden_layers, batch, kvh, s_pad, dp)
     return KVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
@@ -476,7 +482,8 @@ def llama_forward(
     x = jnp.take(embed_w, input_ids, axis=0)
 
     B, S = input_ids.shape
-    cos, sin = _rope(positions, config.head_dim, config.rope_theta)
+    rope_dim = config.qk_rope_head_dim if config.is_mla else config.head_dim
+    cos, sin = _rope(positions, rope_dim, config.rope_theta)
 
     if fresh_prefill is None:
         fresh_prefill = kv_cache is None
@@ -491,10 +498,19 @@ def llama_forward(
     kv_k_all, kv_v_all = kv_cache.k, kv_cache.v
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
-        attn_out, kv_k_all, kv_v_all = _attention(
-            layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
-            config, positions, fresh_prefill=fresh_prefill, tables=tables,
-        )
+        if config.is_mla:
+            from compressed_tensors_tpu.models.mla import mla_attention
+
+            attn_out, kv_k_all, kv_v_all = mla_attention(
+                layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
+                config, positions,
+            )
+        else:
+            attn_out, kv_k_all, kv_v_all = _attention(
+                layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
+                config, positions, fresh_prefill=fresh_prefill,
+                tables=tables,
+            )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
         x = x + _mlp(layer, h, config)
@@ -638,8 +654,28 @@ def load_llama_params(
     for i in range(config.num_hidden_layers):
         prefix = f"model.layers.{i}"
         layer: dict = {}
-        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}")
+        if config.is_mla:
+            # DeepSeek MLA projections (+ latent layernorms)
+            mla_projs = ["kv_a_proj_with_mqa", "kv_b_proj", "o_proj"]
+            if f"{prefix}.self_attn.q_a_proj" in module_names:
+                mla_projs += ["q_a_proj", "q_b_proj"]
+                layer["q_a_layernorm"] = _put(
+                    reader.get(f"{prefix}.self_attn.q_a_layernorm.weight"),
+                    prefix, "ln").astype(dtype)
+            else:
+                mla_projs.append("q_proj")
+            for proj in mla_projs:
+                # kv_b_proj is consumed as a dense matrix (absorbed into
+                # the query / latent expansion), never via a matmul kernel:
+                # keep its checkpoint layout for materialize_weight
+                layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}",
+                                      kernels=(proj != "kv_b_proj"))
+            layer["kv_a_layernorm"] = _put(
+                reader.get(f"{prefix}.self_attn.kv_a_layernorm.weight"),
+                prefix, "ln").astype(dtype)
+        else:
+            for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}")
         moe = _load_moe(prefix)
         if moe is not None:
             layer["moe"] = moe

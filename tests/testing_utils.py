@@ -63,7 +63,7 @@ def make_tiny_llama_checkpoint(
     I = cfg["intermediate_size"]
     V = cfg["vocab_size"]
     KVH = cfg["num_key_value_heads"]
-    D = cfg["head_dim"]
+    D = cfg.get("head_dim") or H // cfg["num_attention_heads"]
     NH = cfg["num_attention_heads"]
 
     names, states, extra = [], {}, {}
@@ -87,10 +87,31 @@ def make_tiny_llama_checkpoint(
     add("model.embed_tokens", (V, H))
     for i in range(cfg["num_hidden_layers"]):
         p = f"model.layers.{i}"
-        add(f"{p}.self_attn.q_proj", (NH * D, H), bias=attn_bias)
-        add(f"{p}.self_attn.k_proj", (KVH * D, H), bias=attn_bias)
-        add(f"{p}.self_attn.v_proj", (KVH * D, H), bias=attn_bias)
-        add(f"{p}.self_attn.o_proj", (H, NH * D))
+        kv_lora = cfg.get("kv_lora_rank", 0) or 0
+        if kv_lora:
+            # DeepSeek V2/V3 MLA attention weights
+            nope = cfg["qk_nope_head_dim"]
+            rope_d = cfg["qk_rope_head_dim"]
+            vd = cfg["v_head_dim"]
+            q_lora = cfg.get("q_lora_rank") or 0
+            if q_lora:
+                add(f"{p}.self_attn.q_a_proj", (q_lora, H))
+                add(f"{p}.self_attn.q_b_proj",
+                    (NH * (nope + rope_d), q_lora))
+                extra[f"{p}.self_attn.q_a_layernorm.weight"] = np.ones(
+                    q_lora, np.float32)
+            else:
+                add(f"{p}.self_attn.q_proj", (NH * (nope + rope_d), H))
+            add(f"{p}.self_attn.kv_a_proj_with_mqa", (kv_lora + rope_d, H))
+            extra[f"{p}.self_attn.kv_a_layernorm.weight"] = np.ones(
+                kv_lora, np.float32)
+            add(f"{p}.self_attn.kv_b_proj", (NH * (nope + vd), kv_lora))
+            add(f"{p}.self_attn.o_proj", (H, NH * vd))
+        else:
+            add(f"{p}.self_attn.q_proj", (NH * D, H), bias=attn_bias)
+            add(f"{p}.self_attn.k_proj", (KVH * D, H), bias=attn_bias)
+            add(f"{p}.self_attn.v_proj", (KVH * D, H), bias=attn_bias)
+            add(f"{p}.self_attn.o_proj", (H, NH * D))
         if qk_norm:
             extra[f"{p}.self_attn.q_norm.weight"] = np.ones(D, np.float32)
             extra[f"{p}.self_attn.k_norm.weight"] = np.ones(D, np.float32)
