@@ -34,12 +34,20 @@ from compressed_tensors_tpu.models.llama import (
 __all__ = ["ServingEngine", "Request", "Completion"]
 
 
+class _PoolExhausted(Exception):
+    """Internal: the paged KV pool has no free page (preemption signal)."""
+
+
 @dataclasses.dataclass
 class Request:
     request_id: int
     prompt_ids: list[int]
     max_new_tokens: int = 64
     eos_token_id: Optional[int] = None
+    # resume state carried across preemption: tokens already generated (the
+    # last one is the pending next-input token). Engine-internal.
+    _generated: list[int] = dataclasses.field(default_factory=list,
+                                              repr=False)
 
 
 @dataclasses.dataclass
@@ -88,6 +96,15 @@ class ServingEngine:
         self.paged = paged
         self.prefix_caching = paged and prefix_caching
 
+        if paged and config.is_mla:
+            # init_paged_kv_cache sizes pools with num_key_value_heads /
+            # head_dim and mla_attention ignores page tables: until the MLA
+            # latent cache is page-pool aware, fail loudly instead of
+            # corrupting silently (ADVICE r2)
+            raise NotImplementedError(
+                "paged KV cache is not yet supported for MLA models; use "
+                "the dense-slab cache (paged=False)"
+            )
         if paged:
             self.cache = init_paged_kv_cache(
                 config, max_batch, max_len, num_pages=num_pages,
@@ -121,6 +138,10 @@ class ServingEngine:
         self.slot_outputs: list[list[int]] = [[] for _ in range(max_batch)]
         self.queue: deque[Request] = deque()
         self.completions: list[Completion] = []
+        # admission order (preemption victims are newest-first, vLLM-style)
+        self._seq = 0
+        self._slot_seq = [0] * max_batch
+        self.preemptions = 0
 
         self._build_steps()
 
@@ -220,6 +241,11 @@ class ServingEngine:
 
     # ------------------------------------------------------------------ #
     def submit(self, request: Request) -> None:
+        if request.max_new_tokens >= self.max_len:
+            # capacity invariant: prompt truncation computes
+            # ids[-(max_len - max_new_tokens):], which needs a positive
+            # budget, and decode must never write past max_len (ADVICE r2)
+            request.max_new_tokens = self.max_len - 1
         self.queue.append(request)
 
     def _free_slots(self) -> list[int]:
@@ -235,26 +261,69 @@ class ServingEngine:
             del self._prefix_index[digest]
             del self._page_digest[pid]
             return pid
-        raise RuntimeError(
-            "paged KV pool exhausted: raise num_pages or lower "
-            "max_batch/max_len (preemption is not implemented)"
-        )
+        raise _PoolExhausted
 
     def _ensure_pages(self, slot: int, upto_len: int) -> None:
         """Allocate pages so `slot`'s table covers positions [0, upto_len)
-        (paged mode only)."""
+        (paged mode only). Transactional: on pool exhaustion every page
+        grabbed by this call returns to the free list before the exception
+        propagates (the caller preempts or requeues)."""
         page = self.cache.page_size
         need = -(-min(upto_len, self.max_len) // page)
         owned = self._slot_pages[slot]
         if need <= len(owned):
             return
-        grabbed = [self._alloc_page() for _ in range(need - len(owned))]
+        grabbed: list[int] = []
+        try:
+            for _ in range(need - len(owned)):
+                grabbed.append(self._alloc_page())
+        except _PoolExhausted:
+            self._free_pages.extend(grabbed)
+            raise
         tables = self.cache.tables
         for i, pid in enumerate(grabbed, start=len(owned)):
             self._page_ref[pid] = 1
             tables = tables.at[slot, i].set(pid)
         owned.extend(grabbed)
         self.cache = dataclasses.replace(self.cache, tables=tables)
+
+    def _release_slot_pages(self, slot: int) -> None:
+        """Drop the slot's page refs; refcount-0 pages return to the pool —
+        prefix-registered ones park in the reusable LRU, the rest go to the
+        free list. The table row points back at the null page."""
+        if not (self.paged and self._slot_pages[slot]):
+            return
+        for pid in self._slot_pages[slot]:
+            self._page_ref[pid] -= 1
+            if self._page_ref[pid] == 0:
+                del self._page_ref[pid]
+                if pid in self._page_digest:
+                    self._cached_free[pid] = self._page_digest[pid]
+                else:
+                    self._free_pages.append(pid)
+        self._slot_pages[slot] = []
+        self.cache = dataclasses.replace(
+            self.cache, tables=self.cache.tables.at[slot].set(0)
+        )
+
+    def _preempt_newest(self) -> Optional[int]:
+        """Preempt the most recently admitted active slot: free its pages
+        and requeue its request (at the queue front) with the generated
+        prefix carried as resume state, so re-admission prefills
+        prompt+generated and decoding continues exactly where it stopped.
+        Returns the victim slot, or None if no slot is active."""
+        cands = [s for s, r in enumerate(self.slot_requests) if r is not None]
+        if not cands:
+            return None
+        victim = max(cands, key=lambda s: self._slot_seq[s])
+        req = self.slot_requests[victim]
+        req._generated = list(self.slot_outputs[victim])
+        self.queue.appendleft(req)
+        self.slot_requests[victim] = None
+        self.slot_outputs[victim] = []
+        self._release_slot_pages(victim)
+        self.preemptions += 1
+        return victim
 
     @staticmethod
     def _page_digests(ids: list[int], page: int) -> list[bytes]:
@@ -309,14 +378,21 @@ class ServingEngine:
                 self._page_digest[pid] = d
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots (chunked)."""
+        """Prefill queued requests into free slots (chunked). A preempted
+        request resumes here: its prompt+generated prefix is prefilled and
+        its pending next token restored, so generation continues exactly
+        where preemption stopped."""
         for slot in self._free_slots():
             if not self.queue:
                 break
             req = self.queue.popleft()
-            ids = list(req.prompt_ids)
-            if len(ids) + req.max_new_tokens > self.max_len:
-                ids = ids[-(self.max_len - req.max_new_tokens):]
+            gen = list(req._generated)
+            ids = list(req.prompt_ids) + gen[:-1]
+            # remaining decode writes: max_new - len(gen) (non-resumed:
+            # max_new - 1 decode writes + 1 is the prefill-produced token)
+            budget = req.max_new_tokens - max(0, len(gen) - 1)
+            if len(ids) + budget > self.max_len:
+                ids = ids[-(self.max_len - budget):]
             # reset slot length to 0
             self.cache = dataclasses.replace(
                 self.cache, lengths=self.cache.lengths.at[slot].set(0)
@@ -327,8 +403,24 @@ class ServingEngine:
                     # reuse cached pages for the longest full-page prompt
                     # prefix; prefill resumes after it
                     start = self._match_prefix(slot, ids)
-                # prompt + the first decode step's write position
-                self._ensure_pages(slot, len(ids) + 1)
+                try:
+                    # prompt + the first decode step's write position
+                    self._ensure_pages(slot, len(ids) + 1)
+                except _PoolExhausted:
+                    # admission never preempts (running requests have
+                    # priority): release anything grabbed (incl. matched
+                    # prefix pages), requeue, and wait for decodes to
+                    # retire. If nothing is decoding, no page will ever
+                    # free — fail loudly.
+                    self._release_slot_pages(slot)
+                    self.queue.appendleft(req)
+                    if not any(r is not None for r in self.slot_requests):
+                        raise RuntimeError(
+                            "paged KV pool exhausted: a single sequence "
+                            "needs more pages than the pool holds; raise "
+                            "num_pages or lower max_len"
+                        ) from None
+                    return
             chunk = self.prefill_chunk
             next_token = None
             while start < len(ids):
@@ -356,9 +448,18 @@ class ServingEngine:
                 start += len(piece)
             if self.prefix_caching:
                 self._register_prefix(slot, ids)
-            self.tokens = self.tokens.at[slot].set(next_token)
+            if gen:
+                # resumed: restore the pending next-input token; the
+                # prefill's recomputed argmax is the same token (greedy)
+                self.tokens = self.tokens.at[slot].set(gen[-1])
+                self.slot_outputs[slot] = gen
+                req._generated = []
+            else:
+                self.tokens = self.tokens.at[slot].set(next_token)
+                self.slot_outputs[slot] = [int(next_token)]
             self.slot_requests[slot] = req
-            self.slot_outputs[slot] = [int(next_token)]
+            self._seq += 1
+            self._slot_seq[slot] = self._seq
 
     def _retire(self) -> None:
         """Release finished slots."""
@@ -380,25 +481,7 @@ class ServingEngine:
                 ))
                 self.slot_requests[slot] = None
                 self.slot_outputs[slot] = []
-                if self.paged and self._slot_pages[slot]:
-                    # drop refs; refcount-0 pages return to the pool —
-                    # prefix-registered ones park in the reusable LRU, the
-                    # rest go straight to the free list. Table row points
-                    # back at the null page.
-                    for pid in self._slot_pages[slot]:
-                        self._page_ref[pid] -= 1
-                        if self._page_ref[pid] == 0:
-                            del self._page_ref[pid]
-                            if pid in self._page_digest:
-                                self._cached_free[pid] = \
-                                    self._page_digest[pid]
-                            else:
-                                self._free_pages.append(pid)
-                    self._slot_pages[slot] = []
-                    self.cache = dataclasses.replace(
-                        self.cache,
-                        tables=self.cache.tables.at[slot].set(0),
-                    )
+                self._release_slot_pages(slot)
 
     def step(self) -> None:
         """One engine iteration: admit, decode (burst), collect, retire."""
@@ -406,15 +489,11 @@ class ServingEngine:
         self._admit()
         # a prompt's first generated token may already finish the request
         self._retire()
-        reqs = [r for r in self.slot_requests if r is not None]
-        if not reqs:
+        if not any(r is not None for r in self.slot_requests):
             return
-        active = jnp.asarray(
-            [1 if r is not None else 0 for r in self.slot_requests],
-            dtype=jnp.int32,
-        )
         # burst length: bounded by the tightest remaining budget/capacity so
-        # no slot writes past its cache or computes far past its stop
+        # no slot writes past its cache or computes far past its stop.
+        # Post-retire every active slot has remaining >= 1 and cap >= 1.
         lengths = np.asarray(self.cache.lengths)
         burst = self.steps_per_sync
         for slot, req in enumerate(self.slot_requests):
@@ -426,11 +505,29 @@ class ServingEngine:
 
         if self.paged:
             # every step writes at the slot's current length: cover the
-            # whole burst's write positions before dispatch
-            for slot, req in enumerate(self.slot_requests):
-                if req is not None:
-                    self._ensure_pages(slot, int(lengths[slot]) + burst)
+            # whole burst's write positions before dispatch. Pool pressure
+            # preempts the newest active slot (freed pages + requeue with
+            # the generated prefix) until the rest fit.
+            for slot in range(self.max_batch):
+                while self.slot_requests[slot] is not None:
+                    try:
+                        self._ensure_pages(slot, int(lengths[slot]) + burst)
+                        break
+                    except _PoolExhausted:
+                        victim = self._preempt_newest()
+                        if victim is None:  # pragma: no cover — defensive
+                            raise RuntimeError(
+                                "paged KV pool exhausted with no slot to "
+                                "preempt; raise num_pages"
+                            ) from None
 
+        reqs = [r for r in self.slot_requests if r is not None]
+        if not reqs:
+            return
+        active = jnp.asarray(
+            [1 if r is not None else 0 for r in self.slot_requests],
+            dtype=jnp.int32,
+        )
         if burst == 1:
             self.cache, self.tokens = self._decode_step(
                 self.params, self.cache, self.tokens, active

@@ -35,6 +35,15 @@ class LlamaConfig:
     qk_norm: bool = False          # per-head q/k RMSNorm (Qwen3 family)
 
     # MLA (DeepSeek V2/V3 multi-head latent attention; 0 -> standard GQA)
+    # rope_interleaved: the checkpoint's rope dims use the interleaved
+    # (GPT-J) pairing rather than the llama half-rotation layout. DeepSeek
+    # V2/V3 train this way (HF uses apply_rotary_pos_emb_interleave; vLLM
+    # sets is_neox_style=False). The loader converts it to half layout by
+    # permuting the rope-dim output rows of kv_a_proj_with_mqa and
+    # q_proj/q_b_proj at load time — the permutation commutes with the
+    # rotation, so attention dots are exactly the interleaved ones while
+    # the engine keeps its lane-friendly half-rotation kernels.
+    rope_interleaved: bool = False
     q_lora_rank: int = 0           # 0 -> dense q_proj (V2-lite style)
     kv_lora_rank: int = 0          # latent KV rank; >0 enables MLA
     qk_nope_head_dim: int = 0
@@ -102,6 +111,7 @@ class LlamaConfig:
             ),
             # Qwen3 applies per-head q/k RMSNorm unconditionally
             qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            rope_interleaved=model_type.startswith("deepseek"),
             q_lora_rank=d.get("q_lora_rank") or 0,
             kv_lora_rank=d.get("kv_lora_rank") or 0,
             qk_nope_head_dim=d.get("qk_nope_head_dim") or 0,

@@ -582,7 +582,8 @@ def load_llama_params(
             a = device_put(a, mod, name)
         return a
 
-    def _get_qt(mod_name: str, kernels: bool | None = None) -> QuantizedTensor:
+    def _get_qt(mod_name: str, kernels: bool | None = None,
+                perm_out=None) -> QuantizedTensor:
         state = {
             k: _put(v, mod_name, k)
             for k, v in reader.module_state_dict(mod_name).items()
@@ -595,6 +596,10 @@ def load_llama_params(
         if qt.weight is not None and np.dtype(qt.weight.dtype).kind == "f" and \
                 not str(qt.weight.dtype).startswith("float8"):
             qt = dataclasses.replace(qt, weight=qt.weight.astype(dtype))
+        if perm_out is not None:
+            from compressed_tensors_tpu.ops.linear import permute_output_rows
+
+            qt = permute_output_rows(qt, perm_out)
         if kernels if kernels is not None else use_kernels:
             qt = prepare_for_kernels(qt)
         return qt
@@ -655,7 +660,31 @@ def load_llama_params(
         prefix = f"model.layers.{i}"
         layer: dict = {}
         if config.is_mla:
-            # DeepSeek MLA projections (+ latent layernorms)
+            # DeepSeek MLA projections (+ latent layernorms).
+            # Interleaved-rope checkpoints (DeepSeek V2/V3) are converted to
+            # the engine's half-rotation layout here by permuting the
+            # rope-dim output rows of kv_a_proj_with_mqa and the q
+            # projection: rot_half(P x) == P rot_interleaved(x), so the
+            # q.k dots match the training convention exactly (see
+            # LlamaConfig.rope_interleaved).
+            rope_d = config.qk_rope_head_dim
+            if config.rope_interleaved:
+                il2half = np.concatenate([
+                    np.arange(0, rope_d, 2), np.arange(1, rope_d, 2)
+                ])
+                r = config.kv_lora_rank
+                kv_a_perm = np.concatenate([np.arange(r), r + il2half])
+                qk_d = config.qk_nope_head_dim + rope_d
+                q_perm = np.concatenate([
+                    h0 * qk_d + np.concatenate(
+                        [np.arange(config.qk_nope_head_dim),
+                         config.qk_nope_head_dim + il2half])
+                    for h0 in range(config.num_attention_heads)
+                ])
+            else:
+                kv_a_perm = q_perm = None
+            mla_perms = {"kv_a_proj_with_mqa": kv_a_perm,
+                         "q_proj": q_perm, "q_b_proj": q_perm}
             mla_projs = ["kv_a_proj_with_mqa", "kv_b_proj", "o_proj"]
             if f"{prefix}.self_attn.q_a_proj" in module_names:
                 mla_projs += ["q_a_proj", "q_b_proj"]
@@ -669,7 +698,8 @@ def load_llama_params(
                 # the query / latent expansion), never via a matmul kernel:
                 # keep its checkpoint layout for materialize_weight
                 layer[proj] = _get_qt(f"{prefix}.self_attn.{proj}",
-                                      kernels=(proj != "kv_b_proj"))
+                                      kernels=(proj != "kv_b_proj"),
+                                      perm_out=mla_perms.get(proj))
             layer["kv_a_layernorm"] = _put(
                 reader.get(f"{prefix}.self_attn.kv_a_layernorm.weight"),
                 prefix, "ln").astype(dtype)

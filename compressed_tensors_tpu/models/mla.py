@@ -107,6 +107,10 @@ def mla_attention(
 
     q_pe = _rope_rotate(q_pe, cos, sin)
     k_pe = _rope_rotate(k_pe[:, :, None, :], cos, sin)[:, :, 0]
+    # reassemble q with the *rotated* rope dims — the eager scores path
+    # consumes full q, and must see the same post-RoPE query the absorbed
+    # path builds from q_nope/q_pe
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
 
     # latent cache rows
     lat_k = jnp.concatenate([c_kv, k_pe], axis=-1)           # (B,S,r+rope)

@@ -170,9 +170,17 @@ def dispatch_with_map(
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
+    missing = [n for n in module_params if n not in device_map]
+    if missing:
+        # a typo'd or stale plan must not silently change placement (the
+        # reference requires an explicit assignment per module)
+        raise KeyError(
+            f"device_map has no entry for module(s) {missing[:5]}"
+            + ("..." if len(missing) > 5 else "")
+        )
     out = {}
     for name, params in module_params.items():
-        dev = device_map.get(name, 0)
+        dev = device_map[name]
         if dev == -1:
             out[name] = jax.tree.map(np.asarray, params)
         else:

@@ -158,6 +158,57 @@ def from_compressed_state(
     )
 
 
+def permute_output_rows(qt: QuantizedTensor, perm) -> QuantizedTensor:
+    """Reorder the output features of a compressed weight: row i of the
+    result is row perm[i] of the input, for every per-output-row leaf.
+
+    Used by the loader to convert checkpoint conventions at load time (e.g.
+    DeepSeek's interleaved rope layout -> the engine's half-rotation layout)
+    without touching the quantized representation: int32/uint8 packing is
+    along the input dim, so output rows permute freely; per-row scales and
+    zero points follow; g_idx indexes input columns and is untouched.
+    """
+    import numpy as _np
+
+    from compressed_tensors_tpu.ops.pack import (
+        pack_to_int32,
+        unpack_from_int32,
+    )
+
+    perm = _np.asarray(perm)
+    n_out = qt.shape[0] if qt.shape else None
+    if n_out is None or len(perm) != n_out:
+        raise ValueError(f"perm length {len(perm)} != out_features {n_out}")
+    if qt.sparse_values is not None:
+        raise NotImplementedError(
+            "output-row permutation of bitmask-sparse weights"
+        )
+    if qt.kernel_packed is not None:
+        raise ValueError("permute before prepare_for_kernels")
+
+    rep = {}
+    for field in ("weight", "weight_packed", "bias"):
+        leaf = getattr(qt, field)
+        if leaf is not None:
+            rep[field] = leaf[perm]
+    scale = qt.scale
+    if scale is not None and scale.ndim >= 1 and scale.shape[0] == n_out:
+        rep["scale"] = scale[perm]
+    zp = qt.zero_point
+    if zp is not None:
+        if zp.dtype == jnp.int32:
+            # packed along the output dim (packed_dim=0): unpack -> permute
+            # -> repack
+            num_bits = qt.scheme.weights.num_bits
+            zp_shape = (n_out, zp.shape[-1])
+            unpacked = unpack_from_int32(zp, num_bits, zp_shape, packed_dim=0)
+            rep["zero_point"] = pack_to_int32(unpacked[perm], num_bits,
+                                              packed_dim=0)
+        elif zp.ndim >= 1 and zp.shape[0] == n_out:
+            rep["zero_point"] = zp[perm]
+    return dataclasses.replace(qt, **rep)
+
+
 # --------------------------------------------------------------------------- #
 # dense weight materialization (jnp fallback path)
 

@@ -58,16 +58,26 @@ __all__ = [
     "quantization_enabled",
 ]
 
-# global QDQ gate (ref lifecycle/helpers.py:17-22 enable/disable_quantization)
+# Global QDQ gate (ref lifecycle/helpers.py:17-22 enable/disable_quantization).
+# NOTE: the gate is read at TRACE time — toggling it affects subsequent
+# traces only, not already-jitted callers of quantized_module_forward (whose
+# compiled caches baked the value in). This diverges from the reference's
+# eager semantics by necessity: to toggle QDQ under jit, re-trace (e.g. pass
+# a different ModuleQuantState with enabled=False, which is static metadata
+# and keys the jit cache).
 _QUANTIZATION_ENABLED = True
 
 
 def enable_quantization() -> None:
+    """Enable the global QDQ gate for forwards traced after this call
+    (no effect on already-compiled jit caches — see module note)."""
     global _QUANTIZATION_ENABLED
     _QUANTIZATION_ENABLED = True
 
 
 def disable_quantization() -> None:
+    """Disable the global QDQ gate for forwards traced after this call
+    (no effect on already-compiled jit caches — see module note)."""
     global _QUANTIZATION_ENABLED
     _QUANTIZATION_ENABLED = False
 

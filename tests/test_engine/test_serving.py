@@ -189,6 +189,48 @@ def test_paged_pool_exhaustion_raises(rng, tmp_path):
         engine.run()
 
 
+def test_paged_preemption_oversubscribed(rng, tmp_path):
+    """A pool too small for both sequences at full length preempts the
+    newest slot (pages freed, request requeued with its generated prefix)
+    and still completes every request with exactly the dense engine's
+    outputs."""
+    engine, params, config = _engine(
+        rng, tmp_path, max_batch=2, max_len=32, prefill_chunk=8,
+        paged=True, page_size=8, num_pages=5,  # 4 usable < 2 * 3 needed
+    )
+    dense, _, _ = _engine(rng, tmp_path, max_batch=2, max_len=32,
+                          prefill_chunk=8)
+    dense.params = engine.params
+
+    prompts = [rng.integers(0, config.vocab_size, size=(10,)).tolist()
+               for _ in range(2)]
+    for i, p in enumerate(prompts):
+        engine.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=12))
+        dense.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=12))
+    got = {c.request_id: c.output_ids for c in engine.run()}
+    ref = {c.request_id: c.output_ids for c in dense.run()}
+    assert engine.preemptions >= 1
+    assert set(got) == {0, 1}
+    for rid in ref:
+        assert got[rid] == ref[rid], rid
+    # no page leaked
+    assert (len(engine._free_pages) + len(engine._cached_free)
+            + len(engine._page_ref) == 4)
+
+
+def test_submit_clamps_max_new_tokens(rng, tmp_path):
+    """max_new_tokens >= max_len is clamped at submit so prompt truncation
+    and the capacity invariant stay well-defined (ADVICE r2)."""
+    engine, params, config = _engine(rng, tmp_path, max_batch=1, max_len=16)
+    prompt = rng.integers(0, config.vocab_size, size=(6,)).tolist()
+    engine.submit(Request(request_id=0, prompt_ids=prompt,
+                          max_new_tokens=999))
+    (c,) = engine.run()
+    assert c.finish_reason == "length"
+    assert len(c.output_ids) <= 15
+    assert int(np.asarray(engine.cache.lengths)[0]) < 16
+
+
 def test_prefix_caching_reuses_pages_and_matches(rng, tmp_path):
     """Second request with a shared prompt prefix reuses cached pages
     (prefill skips them) and still produces exactly the dense engine's

@@ -113,6 +113,102 @@ def test_mla_no_q_lora_variant(rng, tmp_path):
     np.testing.assert_allclose(fused, eager, atol=2e-3, rtol=1e-2)
 
 
+def _np_interleaved_rope(x, pos, theta):
+    """GPT-J-style interleaved rotary embedding: pairs (x[2i], x[2i+1])
+    rotated with frequency i — the DeepSeek V2/V3 training convention (HF
+    apply_rotary_pos_emb_interleave; vLLM is_neox_style=False)."""
+    d = x.shape[-1]
+    inv = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    f = pos[..., None].astype(np.float64) * inv       # (..., d/2)
+    cos, sin = np.cos(f), np.sin(f)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out = np.empty_like(x)
+    out[..., 0::2] = x1 * cos - x2 * sin
+    out[..., 1::2] = x2 * cos + x1 * sin
+    return out
+
+
+def _np_rms(x, eps):
+    return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps)
+
+
+def _np_mla_reference(states, cfg, ids):
+    """Pure-numpy MLA forward with interleaved rope on the raw checkpoint
+    weights (norm weights are all ones in the test checkpoint)."""
+    c = MLA_CONFIG | cfg
+    h, nope = c["num_attention_heads"], c["qk_nope_head_dim"]
+    rope_d, r, vd = c["qk_rope_head_dim"], c["kv_lora_rank"], c["v_head_dim"]
+    qk_d = nope + rope_d
+    eps, theta = 1e-5, c["rope_theta"]
+
+    def w(name):
+        return np.asarray(states[name]["weight"], np.float64)
+
+    x = np.asarray(states["model.embed_tokens"]["weight"], np.float64)[ids]
+    B, S, _ = x.shape
+    pos = np.broadcast_to(np.arange(S, dtype=np.float64), (B, S))
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}.self_attn"
+        hn = _np_rms(x, eps)
+        if c.get("q_lora_rank"):
+            qa = _np_rms(hn @ w(f"{p}.q_a_proj").T, eps)
+            q = qa @ w(f"{p}.q_b_proj").T
+        else:
+            q = hn @ w(f"{p}.q_proj").T
+        q = q.reshape(B, S, h, qk_d)
+        kv_a = hn @ w(f"{p}.kv_a_proj_with_mqa").T
+        c_kv = _np_rms(kv_a[..., :r], eps)
+        k_pe = _np_interleaved_rope(kv_a[..., r:], pos, theta)  # (B,S,rope)
+        q_pe = _np_interleaved_rope(
+            q[..., nope:], pos[:, :, None], theta)              # (B,S,h,rope)
+        w_kvb = w(f"{p}.kv_b_proj").reshape(h, nope + vd, r)
+        k_nope = np.einsum("bsr,hdr->bshd", c_kv, w_kvb[:, :nope])
+        v = np.einsum("bsr,hvr->bshv", c_kv, w_kvb[:, nope:])
+        k = np.concatenate(
+            [k_nope, np.broadcast_to(k_pe[:, :, None], (B, S, h, rope_d))],
+            axis=-1)
+        qf = np.concatenate([q[..., :nope], q_pe], axis=-1)
+        scores = np.einsum("bshd,bthd->bhst", qf, k) / np.sqrt(qk_d)
+        mask = np.tril(np.ones((S, S), bool))
+        scores = np.where(mask, scores, -np.inf)
+        e = np.exp(scores - scores.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        attn = np.einsum("bhst,bthv->bshv", probs, v).reshape(B, S, h * vd)
+        x = x + attn @ w(f"{p}.o_proj").T
+        pm = f"model.layers.{i}.mlp"
+        hn = _np_rms(x, eps)
+        gate = hn @ w(f"{pm}.gate_proj").T
+        up = hn @ w(f"{pm}.up_proj").T
+        silu = gate / (1.0 + np.exp(-gate))
+        x = x + (silu * up) @ w(f"{pm}.down_proj").T
+    x = _np_rms(x, eps)
+    return x @ np.asarray(states["lm_head"]["weight"], np.float64).T
+
+
+DENSE_CFG = {"config_groups": {}, "format": "dense",
+             "quant_method": "compressed-tensors", "ignore": []}
+
+
+def test_mla_interleaved_rope_convention(rng, tmp_path):
+    """Engine logits on a deepseek-style checkpoint match a pure-numpy MLA
+    reference that uses *interleaved* rope on the raw weights: the loader's
+    interleaved->half output-row permutation reproduces the training
+    convention exactly (ADVICE r2; vLLM is_neox_style=False)."""
+    for q_lora in (32, None):
+        cfg = dict(MLA_CONFIG, q_lora_rank=q_lora)
+        save_dir, states = make_tiny_llama_checkpoint(
+            tmp_path / f"il_{q_lora}", rng, DENSE_CFG, model_config=cfg)
+        params, config, _ = load_llama_params(save_dir, dtype=jnp.float32)
+        assert config.rope_interleaved
+        ids = rng.integers(0, config.vocab_size, size=(2, 7))
+        logits, _ = llama_forward(
+            params, config, jnp.asarray(ids),
+            jnp.broadcast_to(jnp.arange(7), (2, 7)), None)
+        ref = _np_mla_reference(states, cfg, ids)
+        np.testing.assert_allclose(np.asarray(logits, np.float64), ref,
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_mla_greedy_generate(rng, tmp_path):
     params, config, _ = _setup(rng, tmp_path)
     ids = rng.integers(0, config.vocab_size, size=(1, 4)).astype(np.int32)
