@@ -18,8 +18,12 @@ __all__ = ["greedy_generate", "make_step_fns"]
 
 
 def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
-                  cache_dtype=None):
-    """Build jitted (prefill, decode) functions with a fixed cache size."""
+                  cache_dtype=None, use_kernels=None):
+    """Build jitted (prefill, decode) functions with a fixed cache size.
+
+    :param use_kernels: static Pallas-kernel-path switch baked into the
+        jitted steps (None = environment/backend default at trace time).
+    """
 
     @partial(jax.jit, static_argnames=("prompt_len",))
     def prefill(params, input_ids, prompt_len: int):
@@ -30,7 +34,8 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
             jnp.arange(input_ids.shape[1]), input_ids.shape
         )
         logits, cache = llama_forward(params, config, input_ids, positions,
-                                      cache, fresh_prefill=True)
+                                      cache, fresh_prefill=True,
+                                      use_kernels=use_kernels)
         next_token = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1)
         return next_token.astype(jnp.int32), cache, logits
 
@@ -39,7 +44,8 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
         B = token.shape[0]
         positions = cache.lengths[:, None]
         logits, cache = llama_forward(
-            params, config, token[:, None], positions, cache
+            params, config, token[:, None], positions, cache,
+            use_kernels=use_kernels,
         )
         next_token = jnp.argmax(logits[:, -1, :], axis=-1)
         return next_token.astype(jnp.int32), cache
@@ -55,13 +61,15 @@ def greedy_generate(
     dtype=jnp.bfloat16,
     cache_dtype=None,
     eos_token_id: int | None = None,
+    use_kernels: bool | None = None,
 ):
     """Greedy decode. input_ids: (B, S) int32. Returns (B, S + new) ids."""
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     B, S = input_ids.shape
     max_len = S + max_new_tokens
     prefill, decode = make_step_fns(config, max_len, dtype=dtype,
-                                    cache_dtype=cache_dtype)
+                                    cache_dtype=cache_dtype,
+                                    use_kernels=use_kernels)
 
     token, cache, _ = prefill(params, input_ids, S)
     out = [token]

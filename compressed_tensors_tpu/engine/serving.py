@@ -85,6 +85,7 @@ class ServingEngine:
         page_size: int = 64,
         num_pages: Optional[int] = None,
         prefix_caching: bool = True,
+        use_kernels: Optional[bool] = None,
     ):
         self.params = params
         self.config = config
@@ -95,6 +96,9 @@ class ServingEngine:
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.paged = paged
         self.prefix_caching = paged and prefix_caching
+        # static Pallas-kernel-path switch baked into the jitted steps
+        # (None = environment/backend default at trace time)
+        self.use_kernels = use_kernels
 
         if paged and config.is_mla:
             # init_paged_kv_cache sizes pools with num_key_value_heads /
@@ -148,6 +152,7 @@ class ServingEngine:
     # ------------------------------------------------------------------ #
     def _build_steps(self):
         config = self.config
+        use_kernels = self.use_kernels
 
         @partial(jax.jit, static_argnames=("chunk", "fresh"),
                  donate_argnames=("cache",))
@@ -178,7 +183,8 @@ class ServingEngine:
             # the flash-prefill kernel; continuation chunks attend over the
             # existing prefix via the jnp path
             logits, new_cache = llama_forward(params, config, row, positions,
-                                              fwd_cache, fresh_prefill=fresh)
+                                              fwd_cache, fresh_prefill=fresh,
+                                              use_kernels=use_kernels)
             new_lengths = jnp.where(is_slot, start + true_len, lengths)
             next_token = jnp.argmax(
                 logits[slot, true_len - 1, :]
@@ -197,7 +203,8 @@ class ServingEngine:
             positions = fwd_lengths[:, None]
             fwd_cache = dataclasses.replace(cache, lengths=fwd_lengths)
             logits, new_cache = llama_forward(
-                params, config, tokens[:, None], positions, fwd_cache
+                params, config, tokens[:, None], positions, fwd_cache,
+                use_kernels=use_kernels,
             )
             next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(
                 jnp.int32
@@ -222,7 +229,7 @@ class ServingEngine:
                 fwd_cache = dataclasses.replace(cache, lengths=fwd_lengths)
                 logits, new_cache = llama_forward(
                     params, config, tokens[:, None], fwd_lengths[:, None],
-                    fwd_cache,
+                    fwd_cache, use_kernels=use_kernels,
                 )
                 nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
                 nxt = jnp.where(active_b, nxt, tokens)

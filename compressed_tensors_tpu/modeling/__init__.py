@@ -7,4 +7,5 @@ from compressed_tensors_tpu.modeling.attention import (  # noqa: F401
     register_key_hook,
     register_query_hook,
     register_value_hook,
+    validate_attention_scheme,
 )

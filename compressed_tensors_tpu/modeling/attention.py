@@ -24,6 +24,7 @@ from compressed_tensors_tpu.quantization.quant_scheme import QuantizationScheme
 
 __all__ = [
     "AttentionQuantState",
+    "validate_attention_scheme",
     "initialize_hooked_attention",
     "initialize_hooked_kv_cache",
     "quantize_post_rope",
@@ -56,25 +57,63 @@ class AttentionQuantState:
         return self.scheme.input_activations if self.scheme else None
 
 
+def validate_attention_scheme(scheme: QuantizationScheme) -> None:
+    """Attention schemes may only quantize activations (q/k/v states) —
+    ref _validate_attention_scheme (initialize.py:336-349)."""
+    if scheme.weights is not None:
+        raise ValueError(
+            "Cannot apply weight quantization to attention. Instead, "
+            "target the (q|k|v)_proj submodule layers of attention"
+        )
+    if scheme.input_activations is None:
+        raise ValueError(
+            "Cannot apply attention quantization without specifying "
+            "input activations"
+        )
+    if scheme.output_activations is not None:
+        raise ValueError("Cannot apply output quantization to attention")
+
+
 def initialize_hooked_attention(
     kv_cache_scheme: QuantizationArgs | None = None,
     quantize_query: bool = False,
+    num_heads: int | None = None,
+    num_kv_heads: int | None = None,
+    head_dim: int | None = None,
 ) -> AttentionQuantState:
-    """Create attention quant state with q/k/v per-tensor scales
+    """Create attention quant state with q/k/v scales
     (ref initialize_hooked_attention attention.py:92-110 +
-    initialize_attn_qparams initialize.py:279-334)."""
+    initialize_attn_qparams initialize.py:279-334).
+
+    Per-tensor strategies get scalar ``(1,)`` scales. The ``attn_head``
+    strategy gets head-shaped scales — q ``(num_heads, 1, 1)``, k/v
+    ``(num_kv_heads, 1, 1)`` — matching the reference's observed shape
+    ``(heads, None, head_dim)`` (ref initialize.py:303-305).
+    """
     scheme = None
     if kv_cache_scheme is not None:
         scheme = QuantizationScheme(
             targets=["re:.*self_attn$"],
             input_activations=kv_cache_scheme,
         )
+        validate_attention_scheme(scheme)
     state = AttentionQuantState(scheme=scheme)
     if kv_cache_scheme is not None:
-        state.k_scale = jnp.ones((1,), dtype=jnp.float32)
-        state.v_scale = jnp.ones((1,), dtype=jnp.float32)
+        per_head = kv_cache_scheme.strategy == "attn_head"
+        if per_head and (num_heads is None or num_kv_heads is None):
+            raise ValueError(
+                "attn_head strategy requires num_heads/num_kv_heads "
+                "(ref get_num_attn_heads/get_num_kv_heads)"
+            )
+
+        def _ones(h):
+            return (jnp.ones((h, 1, 1), dtype=jnp.float32) if per_head
+                    else jnp.ones((1,), dtype=jnp.float32))
+
+        state.k_scale = _ones(num_kv_heads)
+        state.v_scale = _ones(num_kv_heads)
         if quantize_query:
-            state.q_scale = jnp.ones((1,), dtype=jnp.float32)
+            state.q_scale = _ones(num_heads)
     return state
 
 
@@ -127,6 +166,10 @@ def quantize_post_rope(
             return None
         if args is None or scale is None:
             return v
+        if scale.size > 1:
+            # head-shaped (H, 1, 1) scales over our (B, S, H, D) layout:
+            # align the head axis for broadcasting ((H, 1) -> (..., H, D))
+            scale = scale.reshape(-1, 1)
         return fake_quantize(v, scale, None, args).astype(v.dtype)
 
     if query is not None:
@@ -147,13 +190,20 @@ def calibrate_kv_scales(
     values: jnp.ndarray,
     queries: jnp.ndarray | None = None,
 ) -> AttentionQuantState:
-    """Min-max calibration of k/v (and optionally q) per-tensor scales from
-    observed post-RoPE tensors."""
+    """Min-max calibration of k/v (and optionally q) scales from observed
+    post-RoPE tensors ((B, S, H, D) layout). Per-tensor strategies reduce
+    over everything; attn_head reduces per head -> (H, 1, 1) scales."""
     args = state.args
     if args is None:
         return state
+    per_head = args.strategy == "attn_head"
 
     def _scale(v):
+        if per_head:
+            mn = jnp.min(v, axis=(0, 1, 3))   # (H,)
+            mx = jnp.max(v, axis=(0, 1, 3))
+            scale, _ = calculate_qparams(mn, mx, args)
+            return scale.reshape(-1, 1, 1).astype(jnp.float32)
         scale, _ = calculate_qparams(jnp.min(v), jnp.max(v), args)
         return scale.astype(jnp.float32)
 

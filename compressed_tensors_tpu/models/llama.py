@@ -179,12 +179,24 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
-def _quantize_to_cache(x, scale, cache_dtype):
+def _cache_scale(scale, x_ndim, head_axis):
+    """Broadcastable view of a cache scale: scalar per-tensor, or per-head
+    (attn_head strategy, serialized as (KVH, 1, 1)) aligned to the kv-head
+    axis of the tensor being (de)quantized."""
+    if scale.size == 1:
+        return scale.reshape(()).astype(jnp.float32)
+    shape = [1] * x_ndim
+    shape[head_axis] = scale.size
+    return scale.reshape(shape).astype(jnp.float32)
+
+
+def _quantize_to_cache(x, scale, cache_dtype, head_axis=2):
     """Quantize post-RoPE K/V into the cache representation using the
-    serialized k_scale/v_scale (per-tensor fp8/int8)."""
+    serialized k_scale/v_scale (per-tensor or per-head fp8/int8). `x` has
+    the kv-head axis at `head_axis` ((B, S, KVH, Dp) layouts pass 2)."""
     if scale is None or cache_dtype == x.dtype:
         return x.astype(cache_dtype)
-    s = scale.reshape(()).astype(jnp.float32)
+    s = _cache_scale(scale, x.ndim, head_axis)
     scaled = x.astype(jnp.float32) / s
     if str(cache_dtype).startswith("float8"):
         return scaled.astype(cache_dtype)
@@ -192,10 +204,12 @@ def _quantize_to_cache(x, scale, cache_dtype):
     return jnp.clip(jnp.round(scaled), -128, 127).astype(cache_dtype)
 
 
-def _dequantize_from_cache(x, scale, dtype):
+def _dequantize_from_cache(x, scale, dtype, head_axis=1):
+    """Inverse of _quantize_to_cache; cache views are (B, KVH, T, Dp), so
+    the kv-head axis defaults to 1."""
     if scale is None or x.dtype == dtype:
         return x.astype(dtype)
-    s = scale.reshape(()).astype(jnp.float32)
+    s = _cache_scale(scale, x.ndim, head_axis)
     return (x.astype(jnp.float32) * s).astype(dtype)
 
 
@@ -212,6 +226,7 @@ def _attention(
     positions: jnp.ndarray,  # (B, S) query positions
     fresh_prefill: bool = False,  # static: cache is known-empty (lens all 0)
     tables: jnp.ndarray | None = None,  # (B, P) page tables (paged cache)
+    use_kernels: bool = True,  # static: fused Pallas kernel paths
 ):
     B, S, _ = x.shape
     H = config.num_attention_heads
@@ -219,15 +234,15 @@ def _attention(
     D = config.head_dim
 
     if "qkv_proj" in layer:
-        qkv = quantized_matmul(x, layer["qkv_proj"])
+        qkv = quantized_matmul(x, layer["qkv_proj"], use_kernels)
         s1, s2 = layer["qkv_splits"].value
         q = qkv[..., :s1].reshape(B, S, H, D)
         k = qkv[..., s1:s2].reshape(B, S, KVH, D)
         v = qkv[..., s2:].reshape(B, S, KVH, D)
     else:
-        q = quantized_matmul(x, layer["q_proj"]).reshape(B, S, H, D)
-        k = quantized_matmul(x, layer["k_proj"]).reshape(B, S, KVH, D)
-        v = quantized_matmul(x, layer["v_proj"]).reshape(B, S, KVH, D)
+        q = quantized_matmul(x, layer["q_proj"], use_kernels).reshape(B, S, H, D)
+        k = quantized_matmul(x, layer["k_proj"], use_kernels).reshape(B, S, KVH, D)
+        v = quantized_matmul(x, layer["v_proj"], use_kernels).reshape(B, S, KVH, D)
 
     # Qwen3-style per-head q/k RMSNorm (over head_dim, before RoPE)
     if "q_norm" in layer:
@@ -238,10 +253,11 @@ def _attention(
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    # post-RoPE query quantization hook point (ref attention.py:65)
+    # post-RoPE query quantization hook point (ref attention.py:65);
+    # q is (B, S, H, D) — per-head (attn_head) scales align on axis 2
     q_scale = layer.get("q_scale")
     if q_scale is not None:
-        s = q_scale.reshape(()).astype(jnp.float32)
+        s = _cache_scale(q_scale, q.ndim, head_axis=2)
         q = (q.astype(jnp.float32) / s).astype(
             jnp.float8_e4m3fn).astype(jnp.float32) * s
         q = q.astype(x.dtype)
@@ -249,16 +265,19 @@ def _attention(
     k_scale = layer.get("k_scale")
     v_scale = layer.get("v_scale")
     cache_dtype = kv_k_all.dtype
+    # both scales present/absent together, and for the per-tensor-only
+    # kernels both must be scalars (attn_head per-head scales are handled
+    # by the block decode kernel and the jnp paths)
+    scales_ok = (k_scale is None) == (v_scale is None)
+    scalar_scales = scales_ok and (k_scale is None or
+                                   (k_scale.size == 1 and v_scale.size == 1))
 
     # fused decode path: one Pallas op does the cache append (in place) +
     # GQA attention for single-token steps. The stacked cache buffer is
     # aliased through the kernel, so no cache bytes are copied.
-    from compressed_tensors_tpu.ops.linear import _kernel_enabled
-
     Dp = kv_k_all.shape[-1]  # lane-padded head dim (cache layout)
 
-    if tables is not None and S == 1 and _kernel_enabled() and \
-            (k_scale is None) == (v_scale is None):
+    if tables is not None and S == 1 and use_kernels and scalar_scales:
         from compressed_tensors_tpu.ops.kernels.paged_decode import (
             paged_decode_attention,
         )
@@ -273,7 +292,7 @@ def _attention(
             k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
         )
         out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
-        return quantized_matmul(out, layer["o_proj"]), ck, cv
+        return quantized_matmul(out, layer["o_proj"], use_kernels), ck, cv
 
     if tables is not None:
         # paged prefill / eager path: gather the rows' pages into a
@@ -288,7 +307,7 @@ def _attention(
         dense_v = gv.transpose(0, 2, 1, 3, 4).reshape(B, KVH, P * page, Dp)
         out, nk, nv = _attention_dense_tail(
             layer, x, q, k, v, dense_k, dense_v, cache_lens, config,
-            positions, fresh_prefill, k_scale, v_scale)
+            positions, fresh_prefill, k_scale, v_scale, use_kernels)
         # scatter back (duplicate table ids only ever reference the null
         # page 0, whose contents are garbage by contract)
         nk_pages = nk.reshape(B, KVH, P, page, Dp).transpose(0, 2, 1, 3, 4)
@@ -304,16 +323,17 @@ def _attention(
                                                        layer_idx, 0)
         return out, kv_k_all, kv_v_all
 
-    if S == 1 and _kernel_enabled() and (k_scale is None) == (v_scale is None):
+    if S == 1 and use_kernels and scales_ok:
         import os as _os
 
         # kernel choice: the block kernel auto-pipelines the whole allocated
         # cache row (best when the allocation is small/tight); the flash
         # kernel touches O(current length) chunks (wins when the allocation
-        # is serving-scale, i.e. much larger than typical lengths)
+        # is serving-scale, i.e. much larger than typical lengths). Only the
+        # block kernel consumes per-head (attn_head) scales.
         s_max = kv_k_all.shape[3]
         attn_sel = _os.environ.get("CT_TPU_DECODE_ATTN", "auto")
-        use_flash = s_max % 64 == 0 and (
+        use_flash = scalar_scales and s_max % 64 == 0 and (
             attn_sel == "flash" or (attn_sel == "auto" and s_max >= 512)
         )
         pad = [(0, 0)] * 3 + [(0, Dp - D)]
@@ -344,13 +364,14 @@ def _attention(
                 k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
             )
         out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
-        return quantized_matmul(out, layer["o_proj"]), ck, cv
+        return quantized_matmul(out, layer["o_proj"], use_kernels), ck, cv
 
     # dense (per-slot slab) cache: run the shared tail on this layer's
     # (B, KVH, S_pad, Dp) slice and write it back into the stacked buffer
     out, kv_k, kv_v = _attention_dense_tail(
         layer, x, q, k, v, kv_k_all[layer_idx], kv_v_all[layer_idx],
-        cache_lens, config, positions, fresh_prefill, k_scale, v_scale)
+        cache_lens, config, positions, fresh_prefill, k_scale, v_scale,
+        use_kernels)
     kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, kv_k,
                                                    layer_idx, 0)
     kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, kv_v,
@@ -372,6 +393,7 @@ def _attention_dense_tail(
     fresh_prefill: bool,
     k_scale,
     v_scale,
+    use_kernels: bool = True,
 ):
     """K/V write + attention over a contiguous per-row cache view. Shared
     by the dense cache (the view IS the cache slice) and the paged cache's
@@ -380,7 +402,6 @@ def _attention_dense_tail(
     KVH = config.num_key_value_heads
     Dp = cache_k_l.shape[-1]
     cache_dtype = cache_k_l.dtype
-    from compressed_tensors_tpu.ops.linear import _kernel_enabled
 
     # write new K/V into each slot at its own offset [len_b, len_b + S):
     # cache layout (B, KVH, T, Dp)
@@ -400,7 +421,7 @@ def _attention_dense_tail(
     kv_k = jax.vmap(_write_row)(cache_k_l, k_c, cache_lens)
     kv_v = jax.vmap(_write_row)(cache_v_l, v_c, cache_lens)
 
-    if S > 1 and fresh_prefill and _kernel_enabled():
+    if S > 1 and fresh_prefill and use_kernels:
         # flash prefill: streams scores through VMEM instead of
         # materializing (B, KVH, rep, S, S) f32 in HBM. Attends over the
         # QDQ'd K/V so quantized-cache numerics match the jnp path
@@ -415,7 +436,7 @@ def _attention_dense_tail(
             0, 2, 1, 3)[..., :D]
         out = prefill_attention(q, k_a, v_a)
         out = out.reshape(B, S, H * D).astype(x.dtype)
-        return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
+        return quantized_matmul(out, layer["o_proj"], use_kernels), kv_k, kv_v
 
     keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)[..., :D]
     values = _dequantize_from_cache(kv_v, v_scale, x.dtype)[..., :D]
@@ -442,22 +463,24 @@ def _attention_dense_tail(
     out = jnp.einsum("bkrst,bktd->bskrd", probs, values,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(B, S, H * D)
-    return quantized_matmul(out, layer["o_proj"]), kv_k, kv_v
+    return quantized_matmul(out, layer["o_proj"], use_kernels), kv_k, kv_v
 
 
-def _mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig) -> jnp.ndarray:
+def _mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig,
+         use_kernels: bool = True) -> jnp.ndarray:
     if "moe" in layer:
         from compressed_tensors_tpu.models.moe import moe_mlp
 
-        return moe_mlp(layer, x, config)
+        return moe_mlp(layer, x, config, use_kernels=use_kernels)
     if "gate_up_proj" in layer:
-        gu = quantized_matmul(x, layer["gate_up_proj"])
+        gu = quantized_matmul(x, layer["gate_up_proj"], use_kernels)
         (split,) = layer["gate_up_split"].value
         gate, up = gu[..., :split], gu[..., split:]
     else:
-        gate = quantized_matmul(x, layer["gate_proj"])
-        up = quantized_matmul(x, layer["up_proj"])
-    return quantized_matmul(jax.nn.silu(gate) * up, layer["down_proj"])
+        gate = quantized_matmul(x, layer["gate_proj"], use_kernels)
+        up = quantized_matmul(x, layer["up_proj"], use_kernels)
+    return quantized_matmul(jax.nn.silu(gate) * up, layer["down_proj"],
+                            use_kernels)
 
 
 def llama_forward(
@@ -467,13 +490,22 @@ def llama_forward(
     positions: jnp.ndarray,      # (B, S)
     kv_cache: Optional[KVCache] = None,
     fresh_prefill: Optional[bool] = None,
+    use_kernels: Optional[bool] = None,
 ):
     """Full forward pass. Returns (logits, updated kv cache).
 
     :param fresh_prefill: static hint that every active cache slot is empty
         (lengths 0), enabling the fused flash-prefill kernel. Defaults to
         True when no cache is passed (one is created fresh).
+    :param use_kernels: static switch for the fused Pallas kernel paths
+        (matmuls and attention). None resolves the environment/backend
+        default at trace time; pass an explicit bool for a stable choice
+        under jit (tests and A/B harnesses select paths with this).
     """
+    if use_kernels is None:
+        from compressed_tensors_tpu.ops.linear import _kernel_enabled
+
+        use_kernels = _kernel_enabled()
     embed = params["embed_tokens"]
     if isinstance(embed, QuantizedTensor):
         embed_w = materialize_weight(embed)
@@ -503,23 +535,23 @@ def llama_forward(
 
             attn_out, kv_k_all, kv_v_all = mla_attention(
                 layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
-                config, positions,
+                config, positions, use_kernels=use_kernels,
             )
         else:
             attn_out, kv_k_all, kv_v_all = _attention(
                 layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
                 config, positions, fresh_prefill=fresh_prefill,
-                tables=tables,
+                tables=tables, use_kernels=use_kernels,
             )
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
-        x = x + _mlp(layer, h, config)
+        x = x + _mlp(layer, h, config, use_kernels)
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps)
 
     lm_head = params["lm_head"]
     if isinstance(lm_head, QuantizedTensor):
-        logits = quantized_matmul(x, lm_head)
+        logits = quantized_matmul(x, lm_head, use_kernels)
     else:
         logits = jax.lax.dot_general(
             x, lm_head,

@@ -80,6 +80,7 @@ def mla_attention(
     cache_lens: jnp.ndarray,  # (B,)
     config: LlamaConfig,
     positions: jnp.ndarray,   # (B, S)
+    use_kernels: bool = True,  # static: fused Pallas kernel paths
 ):
     """Returns (o_proj output, kv_k_all, kv_v_all)."""
     B, S, _ = x.shape
@@ -93,15 +94,16 @@ def mla_attention(
 
     # ---- projections --------------------------------------------------- #
     if "q_a_proj" in layer:
-        qa = quantized_matmul(x, layer["q_a_proj"])
+        qa = quantized_matmul(x, layer["q_a_proj"], use_kernels)
         qa = _rms(qa, layer["q_a_layernorm"], config.rms_norm_eps)
-        q = quantized_matmul(qa, layer["q_b_proj"])
+        q = quantized_matmul(qa, layer["q_b_proj"], use_kernels)
     else:
-        q = quantized_matmul(x, layer["q_proj"])
+        q = quantized_matmul(x, layer["q_proj"], use_kernels)
     q = q.reshape(B, S, h, qk_d)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-    kv_a = quantized_matmul(x, layer["kv_a_proj_with_mqa"])  # (B,S,r+rope)
+    kv_a = quantized_matmul(x, layer["kv_a_proj_with_mqa"],
+                            use_kernels)                     # (B,S,r+rope)
     c_kv = _rms(kv_a[..., :r], layer["kv_a_layernorm"], config.rms_norm_eps)
     k_pe = kv_a[..., r:]                                     # (B, S, rope_d)
 
@@ -121,12 +123,10 @@ def mla_attention(
     w_kb = w_kvb[:, :nope, :]   # (h, nope, r)
     w_vb = w_kvb[:, nope:, :]   # (h, vd, r)
 
-    from compressed_tensors_tpu.ops.linear import _kernel_enabled
-
     k_scale = layer.get("k_scale")
     v_scale = layer.get("v_scale")
 
-    if S == 1 and _kernel_enabled() and (k_scale is None) == (v_scale is None):
+    if S == 1 and use_kernels and (k_scale is None) == (v_scale is None):
         # ---- absorbed decode: MQA over the latent head ------------------ #
         from compressed_tensors_tpu.ops.kernels.decode_attention import (
             decode_attention,
@@ -148,7 +148,8 @@ def mla_attention(
         out_r = out[..., :r].astype(x.dtype)                  # (B, h, r)
         attn = jnp.einsum("bhr,hvr->bhv", out_r, w_vb)        # (B, h, vd)
         attn = attn.reshape(B, 1, h * vd).astype(x.dtype)
-        return quantized_matmul(attn, layer["o_proj"]), kv_k_all, kv_v_all
+        return (quantized_matmul(attn, layer["o_proj"], use_kernels),
+                kv_k_all, kv_v_all)
 
     # ---- non-absorbed prefill / eager path ------------------------------ #
     # write latents at [len_b, len_b+S) (negative length = inactive row)
@@ -209,4 +210,5 @@ def mla_attention(
     attn = jnp.einsum("bhst,bthv->bshv", probs, v_all,
                       preferred_element_type=jnp.float32).astype(x.dtype)
     attn = attn.reshape(B, S, h * vd)
-    return quantized_matmul(attn, layer["o_proj"]), kv_k_all, kv_v_all
+    return (quantized_matmul(attn, layer["o_proj"], use_kernels),
+            kv_k_all, kv_v_all)

@@ -56,7 +56,8 @@ def _route(tokens: jnp.ndarray, router_w: jnp.ndarray, config: LlamaConfig):
 
 
 def moe_mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig,
-            capacity_factor: float = 1.25) -> jnp.ndarray:
+            capacity_factor: float = 1.25,
+            use_kernels: bool = True) -> jnp.ndarray:
     """MoE FFN block: route -> dispatch -> expert FFN -> weighted combine.
 
     `layer["moe"]` holds: "router" (E, H) dense array, "experts" dict of
@@ -111,8 +112,9 @@ def moe_mlp(layer: dict, x: jnp.ndarray, config: LlamaConfig,
 
     shared = moe.get("shared_expert")
     if shared is not None:
-        g = quantized_matmul(tokens, shared["gate_proj"])
-        u = quantized_matmul(tokens, shared["up_proj"])
-        out = out + quantized_matmul(jax.nn.silu(g) * u, shared["down_proj"])
+        g = quantized_matmul(tokens, shared["gate_proj"], use_kernels)
+        u = quantized_matmul(tokens, shared["up_proj"], use_kernels)
+        out = out + quantized_matmul(jax.nn.silu(g) * u,
+                                     shared["down_proj"], use_kernels)
 
     return out.reshape(B, S, H)

@@ -56,8 +56,8 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
             (q_ref, newk_ref, newv_ref, ck_ref, cv_ref, kscale_ref,
              vscale_ref, out_ref, ck_hbm, cv_hbm,
              stage_k, stage_v, sem, actives_ref) = refs
-            k_scale = kscale_ref[0]
-            v_scale = vscale_ref[0]
+            k_scale = kscale_ref
+            v_scale = vscale_ref
         else:
             (q_ref, newk_ref, newv_ref, ck_ref, cv_ref,
              out_ref, ck_hbm, cv_hbm,
@@ -67,9 +67,15 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
         h = kvh * rep
         ks = kvh * s_max
 
-        def quantize_new(new, scale):
-            if scale is not None and cache_dtype != new.dtype:
-                sc = scale.astype(jnp.float32)
+        def head_scales(scale_ref, extra_dims):
+            # per-head (kvh,) SMEM scales -> broadcastable (kvh, 1[, 1])
+            sc = jnp.stack([scale_ref[i] for i in range(kvh)])
+            return sc.reshape(kvh, *([1] * extra_dims)).astype(jnp.float32)
+
+        def quantize_new(new, scale_ref):
+            # new: (kvh, d)
+            if scale_ref is not None and cache_dtype != new.dtype:
+                sc = head_scales(scale_ref, 1)
                 scaled = new.astype(jnp.float32) / sc
                 if str(cache_dtype).startswith("float8"):
                     return scaled.astype(cache_dtype)
@@ -78,10 +84,11 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                 )
             return new.astype(cache_dtype)
 
-        def dequant(v, scale):
-            if scale is not None and v.dtype != compute_dtype:
+        def dequant(v, scale_ref):
+            # v: (kvh, s, d)
+            if scale_ref is not None and v.dtype != compute_dtype:
                 return (v.astype(jnp.float32)
-                        * scale.astype(jnp.float32)).astype(compute_dtype)
+                        * head_scales(scale_ref, 2)).astype(compute_dtype)
             return v.astype(compute_dtype)
 
         align = 32 if jnp.dtype(cache_dtype).itemsize == 1 else 8
@@ -139,8 +146,8 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
             # mask keeps only same-group pairs. kvh-times redundant MXU
             # work, but it turns 2*kvh tiny latency-bound dots per row
             # into 2 larger ones.
-            keys = dequant(ck_ref[g].reshape(ks, d), k_scale)    # (kvh*s, Dp)
-            values = dequant(cv_ref[g].reshape(ks, d), v_scale)  # (kvh*s, Dp)
+            keys = dequant(ck_ref[g], k_scale).reshape(ks, d)    # (kvh*s, Dp)
+            values = dequant(cv_ref[g], v_scale).reshape(ks, d)  # (kvh*s, Dp)
             qh = q_ref[g].astype(compute_dtype)  # (h, Dp)
 
             scores = jax.lax.dot_general(
@@ -240,8 +247,8 @@ def decode_attention(
     kvh: int,
     rep: int,
     d: int,                # padded head dim (Dp)
-    k_scale: jnp.ndarray | None = None,  # (1,) per-tensor
-    v_scale: jnp.ndarray | None = None,
+    k_scale: jnp.ndarray | None = None,  # (1,) per-tensor or (KVH, 1, 1)
+    v_scale: jnp.ndarray | None = None,  # per-head (attn_head strategy)
     true_d: int | None = None,  # unpadded head dim, for the softmax scale
     layer: int | None = None,  # static layer index for stacked (5D) caches
 ):
@@ -303,8 +310,12 @@ def decode_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        args += [k_scale.reshape(1).astype(jnp.float32),
-                 v_scale.reshape(1).astype(jnp.float32)]
+        # normalize to one scale per kv head: per-tensor scalars broadcast,
+        # attn_head (KVH, 1, 1) scales flatten (ref initialize.py:303-305)
+        args += [jnp.broadcast_to(k_scale.reshape(-1).astype(jnp.float32),
+                                  (kvh,)),
+                 jnp.broadcast_to(v_scale.reshape(-1).astype(jnp.float32),
+                                  (kvh,))]
 
     align = 32 if jnp.dtype(cache_k.dtype).itemsize == 1 else 8
     span = min(align, s_max)

@@ -652,7 +652,11 @@ def quantized_matmul_experts(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray
     return out
 
 
-def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
+def quantized_matmul(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    use_kernels: bool | None = None,
+) -> jnp.ndarray:
     """y = x @ W^T (+ bias) with W in compressed form.
 
     Dispatches per format/scheme:
@@ -660,7 +664,14 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     - FP8 W8A8: fp8 MXU matmul
     - packed/fp4/dense and everything else: dequant (fused by XLA or Pallas)
       then bf16 matmul
+
+    :param use_kernels: route through the fused Pallas kernel layouts when
+        available. None (default) falls back to the environment/backend
+        default (`_kernel_enabled()`), which is read at TRACE time — pass an
+        explicit bool from jitted callers that need a stable choice.
     """
+    if use_kernels is None:
+        use_kernels = _kernel_enabled()
     scheme = qt.scheme
     input_args = scheme.input_activations if scheme is not None else None
     weights_args = scheme.weights if scheme is not None else None
@@ -689,7 +700,7 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
         in (QuantizationStrategy.CHANNEL.value, QuantizationStrategy.TENSOR.value)
     )
 
-    if qt.kernel_packed is not None and _kernel_enabled():
+    if qt.kernel_packed is not None and use_kernels:
         lead = x.shape[:-1]
         if qt.kernel_meta[0] == "w8a8":
             from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (

@@ -219,6 +219,7 @@ def apply_quantization_config(
     weight_shapes: Mapping[str, tuple[int, ...]],
     config: QuantizationConfig | None,
     kv_module_names: list[str] | None = None,
+    num_kv_heads: int | None = None,
 ) -> dict[str, ModuleQuantState]:
     """Resolve schemes and initialize quantization state for every matched
     module (ref apply.py:100-170).
@@ -251,12 +252,24 @@ def apply_quantization_config(
                 name for name, info in modules.items()
                 if is_match(name, info, KV_CACHE_TARGETS)
             ]
+        # attn_head-strategy kv schemes serialize head-shaped
+        # (num_kv_heads, 1, 1) scales (ref initialize.py:279-334, observed
+        # shape (heads, None, head_dim)); everything else is per-tensor (1,)
+        per_head = config.kv_cache_scheme.strategy == "attn_head"
+        if per_head and num_kv_heads is None:
+            raise ValueError(
+                "attn_head kv_cache_scheme requires num_kv_heads "
+                "(ref get_num_kv_heads, initialize.py:300)"
+            )
+        scale_shape = (num_kv_heads, 1, 1) if per_head else (1,)
         for name in names:
             state = ModuleQuantState(scheme=kv_scheme,
                                      status=config.quantization_status)
-            # k_scale / v_scale per-tensor scales (ref quant_metadata.py)
-            state.qparams["k_scale"] = jnp.zeros((1,), dtype=jnp.float32)
-            state.qparams["v_scale"] = jnp.zeros((1,), dtype=jnp.float32)
+            # k_scale / v_scale scales (ref quant_metadata.py)
+            state.qparams["k_scale"] = jnp.zeros(scale_shape,
+                                                 dtype=jnp.float32)
+            state.qparams["v_scale"] = jnp.zeros(scale_shape,
+                                                 dtype=jnp.float32)
             states[name] = state
 
     target_to_scheme: "OrderedDict[str, QuantizationScheme]" = OrderedDict()

@@ -46,6 +46,59 @@ def test_calibrate_and_quantize(rng):
     assert float(jnp.abs(qq - q).mean()) < 0.05
 
 
+def test_attn_head_state_shapes_and_calibration(rng):
+    """attn_head strategy: head-shaped q/k/v scales (ref
+    initialize_attn_qparams, initialize.py:279-334) and per-head min-max
+    calibration producing distinct per-head values."""
+    import pytest
+
+    args = QuantizationArgs(num_bits=8, type="float", strategy="attn_head",
+                            symmetric=True)
+    with pytest.raises(ValueError, match="attn_head"):
+        initialize_hooked_attention(args)  # heads required
+    state = initialize_hooked_attention(args, quantize_query=True,
+                                        num_heads=4, num_kv_heads=2)
+    assert state.q_scale.shape == (4, 1, 1)
+    assert state.k_scale.shape == (2, 1, 1)
+    assert state.v_scale.shape == (2, 1, 1)
+
+    # head 1's keys are 10x head 0's: calibrated scales must differ per head
+    k = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))
+    k = k.at[:, :, 1].multiply(10.0)
+    v = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(1, 8, 4, 16)).astype(np.float32))
+    state = calibrate_kv_scales(state, k, v, q)
+    ks = np.asarray(state.k_scale).reshape(-1)
+    assert ks[1] > 5 * ks[0]
+
+    kq = quantize_post_rope(state, None, k, None)[1]
+    # per-head fp8 fake-quant keeps the large head accurate too
+    assert float(jnp.abs(kq - k)[:, :, 1].mean()) < 0.5
+    assert float(jnp.abs(kq - k)[:, :, 0].mean()) < 0.05
+
+
+def test_attention_scheme_validation():
+    """Attention schemes may only quantize input activations (ref
+    _validate_attention_scheme, initialize.py:336-349)."""
+    import pytest
+
+    from compressed_tensors_tpu.modeling import validate_attention_scheme
+    from compressed_tensors_tpu.quantization import QuantizationScheme
+
+    acts = QuantizationArgs(num_bits=8, type="float", strategy="tensor")
+    with pytest.raises(ValueError, match="weight quantization"):
+        validate_attention_scheme(QuantizationScheme(
+            targets=["re:.*self_attn$"], weights=acts,
+            input_activations=acts))
+    with pytest.raises(ValueError, match="input activations"):
+        validate_attention_scheme(QuantizationScheme(
+            targets=["re:.*self_attn$"]))
+    with pytest.raises(ValueError, match="output quantization"):
+        validate_attention_scheme(QuantizationScheme(
+            targets=["re:.*self_attn$"], input_activations=acts,
+            output_activations=acts))
+
+
 def test_hooks_fire(rng):
     state = initialize_hooked_attention(None)
     seen = []

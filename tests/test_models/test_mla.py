@@ -73,22 +73,17 @@ def _decode_logits(params, config, ids, fused):
     B, S = ids.shape
     cache = init_kv_cache(config, B, S + 4, dtype=jnp.float32)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    env = os.environ
-    if not fused:
-        env["CT_TPU_ENFORCE_EAGER"] = "1"
-    try:
-        logits, cache = llama_forward(params, config, jnp.asarray(ids),
-                                      positions, cache)
-        outs = []
+    logits, cache = llama_forward(params, config, jnp.asarray(ids),
+                                  positions, cache, use_kernels=fused)
+    outs = []
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    for _ in range(3):
+        logits, cache = llama_forward(
+            params, config, tok[:, None], cache.lengths[:, None], cache,
+            use_kernels=fused,
+        )
+        outs.append(np.asarray(logits[:, 0], np.float32))
         tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        for _ in range(3):
-            logits, cache = llama_forward(
-                params, config, tok[:, None], cache.lengths[:, None], cache
-            )
-            outs.append(np.asarray(logits[:, 0], np.float32))
-            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-    finally:
-        env.pop("CT_TPU_ENFORCE_EAGER", None)
     return np.stack(outs)
 
 

@@ -48,22 +48,17 @@ def _decode_logits(params, config, ids, cache_dtype=None, fused=True):
                           cache_dtype=cache_dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
-    env = os.environ
-    if not fused:
-        env["CT_TPU_ENFORCE_EAGER"] = "1"
-    try:
-        logits, cache = llama_forward(params, config, jnp.asarray(ids),
-                                      positions, cache)
-        outs = []
+    logits, cache = llama_forward(params, config, jnp.asarray(ids),
+                                  positions, cache, use_kernels=fused)
+    outs = []
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    for _ in range(3):
+        logits, cache = llama_forward(
+            params, config, tok[:, None], cache.lengths[:, None], cache,
+            use_kernels=fused,
+        )
+        outs.append(np.asarray(logits[:, 0], np.float32))
         tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        for _ in range(3):
-            logits, cache = llama_forward(
-                params, config, tok[:, None], cache.lengths[:, None], cache
-            )
-            outs.append(np.asarray(logits[:, 0], np.float32))
-            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-    finally:
-        env.pop("CT_TPU_ENFORCE_EAGER", None)
     return np.stack(outs)
 
 
@@ -79,6 +74,23 @@ def test_fused_decode_fp8_kv(rng, tmp_path):
     params, config, _ = _setup(rng, tmp_path, kv_scales=True)
     assert "k_scale" in params["layers"][0]
     ids = rng.integers(0, config.vocab_size, size=(1, 5))
+    cache_dtype = jnp.dtype(ml_dtypes.float8_e4m3fn)
+    fused = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
+                           fused=True)
+    eager = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
+                           fused=False)
+    np.testing.assert_allclose(fused, eager, atol=5e-2, rtol=5e-2)
+
+
+def test_fused_decode_fp8_kv_per_head(rng, tmp_path):
+    """attn_head-strategy head-shaped (KVH, 1, 1) k/v scales: the block
+    decode kernel quantizes/dequantizes per head and matches the eager
+    path (ref initialize_attn_qparams, initialize.py:279-334)."""
+    params, config, _ = _setup(rng, tmp_path, kv_scales="per_head")
+    ks = params["layers"][0]["k_scale"]
+    assert ks.shape == (config.num_key_value_heads, 1, 1)
+    assert len(np.unique(np.asarray(ks))) > 1  # genuinely per-head
+    ids = rng.integers(0, config.vocab_size, size=(2, 5))
     cache_dtype = jnp.dtype(ml_dtypes.float8_e4m3fn)
     fused = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
                            fused=True)

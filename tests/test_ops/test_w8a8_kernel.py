@@ -41,14 +41,10 @@ def test_w8a8_kernel_matches_jnp_path(rng, preset, batch):
     x = jnp.asarray(
         (rng.normal(size=(1, batch, 256)) * 0.5).astype(np.float32)
     )
-    y_kernel = quantized_matmul(x, qt)
+    y_kernel = quantized_matmul(x, qt, use_kernels=True)
 
-    # reference: jnp dynamic-quant path (disable kernels)
-    os.environ["CT_TPU_ENFORCE_EAGER"] = "1"
-    try:
-        y_ref = quantized_matmul(x, qt)
-    finally:
-        del os.environ["CT_TPU_ENFORCE_EAGER"]
+    # reference: jnp dynamic-quant path (kernels off, explicit arg)
+    y_ref = quantized_matmul(x, qt, use_kernels=False)
 
     np.testing.assert_allclose(
         np.asarray(y_kernel, np.float32), np.asarray(y_ref, np.float32),

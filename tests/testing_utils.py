@@ -54,7 +54,7 @@ def make_tiny_llama_checkpoint(
     rng,
     quant_config: dict,
     model_config: dict | None = None,
-    kv_scales: bool = False,
+    kv_scales: bool | str = False,
 ):
     """Create a random tiny Llama checkpoint, quantize + compress it with our
     own save path, and return (save_dir, dense module states)."""
@@ -133,7 +133,16 @@ def make_tiny_llama_checkpoint(
         extra[f"{p}.post_attention_layernorm.weight"] = np.ones(
             H, dtype=np.float32
         )
-        if kv_scales:
+        if kv_scales == "per_head":
+            # attn_head strategy: head-shaped (KVH, 1, 1) scales with
+            # distinct per-head values (ref initialize.py:279-334)
+            extra[f"{p}.self_attn.k_scale"] = (
+                0.015 + 0.01 * np.arange(KVH, dtype=np.float32)
+            ).reshape(KVH, 1, 1)
+            extra[f"{p}.self_attn.v_scale"] = (
+                0.03 - 0.005 * np.arange(KVH, dtype=np.float32)
+            ).reshape(KVH, 1, 1)
+        elif kv_scales:
             extra[f"{p}.self_attn.k_scale"] = np.asarray([0.02], np.float32)
             extra[f"{p}.self_attn.v_scale"] = np.asarray([0.02], np.float32)
     extra["model.norm.weight"] = np.ones(H, dtype=np.float32)
