@@ -59,11 +59,12 @@ print(f"matmul chain: {marginal(functools.partial(mm_loop, layers))*1e3:.3f} ms/
 MAXLEN = 88
 cache0 = init_kv_cache(config, B, MAXLEN, dtype=jnp.bfloat16)
 Dp = cache0.k.shape[-1]
+KVHs = cache0.k.shape[2]  # head-packed layout: KVH/P rows per token
 
 @jax.jit
 def attn_loop(cache0, nsteps):
     q = jnp.ones((B, H, Dp), dtype=jnp.bfloat16) * 0.01
-    nk = jnp.ones((B, KVH, Dp), dtype=jnp.bfloat16) * 0.01
+    nk = jnp.ones((B, KVHs, Dp), dtype=jnp.bfloat16) * 0.01
     ck, cv = cache0.k, cache0.v
     def body(carry):
         i, ck, cv, acc = carry
@@ -71,7 +72,7 @@ def attn_loop(cache0, nsteps):
         out = None
         for li in range(config.num_hidden_layers):
             out, ck, cv = decode_attention(q, nk, nk, ck, cv, lens,
-                                           kvh=KVH, rep=H // KVH, d=Dp,
+                                           kvh=KVHs, rep=H // KVHs, d=Dp,
                                            true_d=D, layer=li)
         return i + 1, ck, cv, acc + jnp.sum(out)
     _, ck, cv, acc = jax.lax.while_loop(lambda c: c[0] < nsteps, body,

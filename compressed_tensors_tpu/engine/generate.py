@@ -33,10 +33,14 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
         positions = jnp.broadcast_to(
             jnp.arange(input_ids.shape[1]), input_ids.shape
         )
+        # prompt is unpadded: the last position's logits are the ones that
+        # matter, so skip the other S-1 lm_head rows entirely
         logits, cache = llama_forward(params, config, input_ids, positions,
                                       cache, fresh_prefill=True,
-                                      use_kernels=use_kernels)
-        next_token = jnp.argmax(logits[:, prompt_len - 1, :], axis=-1)
+                                      use_kernels=use_kernels,
+                                      last_logit_only=(prompt_len ==
+                                                       input_ids.shape[1]))
+        next_token = jnp.argmax(logits[:, -1, :], axis=-1)
         return next_token.astype(jnp.int32), cache, logits
 
     @partial(jax.jit, donate_argnames=("cache",))

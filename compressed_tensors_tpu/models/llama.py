@@ -71,13 +71,97 @@ def padded_head_dim(d: int) -> int:
     return max(128, int(np.ceil(d / 128) * 128))
 
 
+def kv_pack_factor(config: "LlamaConfig", head_pack: bool | None = None) -> int:
+    """How many KV heads share one 128-lane cache row.
+
+    Models with head_dim <= 64 waste >= half of every (8, 128) HBM tile if
+    each head gets its own lane-padded row; packing P = 128/slot adjacent
+    heads of the same token into one row halves (quarters) cache bytes AND
+    the folded score-dot width — and the decode kernels run UNCHANGED with
+    kvh' = KVH/P, rep' = rep*P, because each query head's lanes select its
+    own head's slot (zeros elsewhere contribute nothing to the dots).
+
+    Per-head (attn_head) k/v scales vary along lanes in this layout, which
+    the kernels' per-kv-row scales cannot express — callers with per-head
+    scales pass head_pack=False (the jnp paths handle both).
+    """
+    if head_pack is False or config.is_mla:
+        return 1
+    d = config.head_dim
+    if d > 64:
+        return 1
+    slot = 32 if d <= 32 else 64
+    p = 128 // slot
+    while p > 1 and config.num_key_value_heads % p:
+        p //= 2
+    return p
+
+
+def _pack_kv_heads(t: jnp.ndarray, p: int, slot: int, dp: int) -> jnp.ndarray:
+    """(B, S, KVH, D) -> (B, S, KVH/P, Dp): P adjacent heads of one token
+    share a lane row (free reshape — the packed dims are contiguous)."""
+    B, S, KVH, D = t.shape
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, slot - D)))
+    t = t.reshape(B, S, KVH // p, p * slot)
+    if p * slot < dp:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, dp - p * slot)))
+    return t
+
+
+def _unpack_kv_heads(view: jnp.ndarray, p: int, slot: int, D: int
+                     ) -> jnp.ndarray:
+    """(B, KVH/P, T, Dp) cache view -> (B, KVH, T, D)."""
+    B, kvhs, T, _ = view.shape
+    a = view[..., :p * slot].reshape(B, kvhs, T, p, slot)
+    a = a.transpose(0, 1, 3, 2, 4).reshape(B, kvhs * p, T, slot)
+    return a[..., :D]
+
+
+def _slot_queries(q: jnp.ndarray, p: int, slot: int, dp: int, rep: int
+                  ) -> jnp.ndarray:
+    """(B, H, D) -> (B, H, Dp): head of kv-group g gets lanes
+    [(g % P) * slot, ...); zero lanes elsewhere make the packed score dot
+    pick out exactly its own head's keys."""
+    B, H, D = q.shape
+    if p == 1:
+        return jnp.pad(q, ((0, 0), (0, 0), (0, dp - D)))
+    kvhs = H // (rep * p)
+    qr = jnp.pad(q, ((0, 0), (0, 0), (0, slot - D)))
+    qr = qr.reshape(B, kvhs, p, rep, slot)
+    eye = jnp.eye(p, dtype=q.dtype)
+    qe = jnp.einsum("bkprd,pq->bkprqd", qr, eye).reshape(B, H, p * slot)
+    if p * slot < dp:
+        qe = jnp.pad(qe, ((0, 0), (0, 0), (0, dp - p * slot)))
+    return qe
+
+
+def _unslot_outputs(out: jnp.ndarray, p: int, slot: int, D: int, rep: int
+                    ) -> jnp.ndarray:
+    """(B, H, Dp) packed attention outputs -> (B, H, D): each head keeps
+    its own lane slot (the other slots hold sibling heads' outputs)."""
+    B, H, _ = out.shape
+    if p == 1:
+        return out[..., :D]
+    kvhs = H // (rep * p)
+    o = out[..., :p * slot].reshape(B, kvhs, p, rep, p, slot)
+    eye = jnp.eye(p, dtype=out.dtype)
+    o = jnp.einsum("bkprqd,pq->bkprd", o, eye)
+    return o.reshape(B, H, slot)[..., :D]
+
+
 def init_kv_cache(
     config: LlamaConfig,
     batch: int,
     max_len: int,
     dtype=jnp.bfloat16,
     cache_dtype=None,
+    head_pack: bool | None = None,
 ) -> KVCache:
+    """:param head_pack: pack P = 128/head_slot adjacent KV heads per
+    128-lane cache row when head_dim <= 64 (halves/quarters cache HBM
+    traffic; see kv_pack_factor). Default auto; pass False for models
+    with per-head (attn_head) k/v scales that must ride the fused
+    kernels."""
     cd = cache_dtype or dtype
     # align to the flash-decode chunk size (also covers the 8/32-row
     # write-back tile alignment); the flash kernel's per-row cost is
@@ -89,8 +173,9 @@ def init_kv_cache(
         kvh = 1
         dp = padded_head_dim(config.kv_lora_rank + config.qk_rope_head_dim)
     else:
-        kvh = config.num_key_value_heads
-        dp = padded_head_dim(config.head_dim)
+        p = kv_pack_factor(config, head_pack)
+        kvh = config.num_key_value_heads // p
+        dp = padded_head_dim(config.head_dim) if p == 1 else 128
     shape = (config.num_hidden_layers, batch, kvh, s_pad, dp)
     return KVCache(
         k=jnp.zeros(shape, dtype=cd),
@@ -130,17 +215,20 @@ def init_paged_kv_cache(
     page_size: int = 64,
     dtype=jnp.bfloat16,
     cache_dtype=None,
+    head_pack: bool | None = None,
 ) -> PagedKVCache:
     """:param num_pages: pool size (default: full residency for `batch`
     sequences of `max_len` + the null page — no oversubscription). Serving
-    engines pass less to oversubscribe HBM."""
+    engines pass less to oversubscribe HBM.
+    :param head_pack: see init_kv_cache."""
     cd = cache_dtype or dtype
     p_max = int(np.ceil(max_len / page_size))
     if num_pages is None:
         num_pages = batch * p_max + 1
+    pk = kv_pack_factor(config, head_pack)
     shape = (config.num_hidden_layers, num_pages,
-             config.num_key_value_heads, page_size,
-             padded_head_dim(config.head_dim))
+             config.num_key_value_heads // pk, page_size,
+             padded_head_dim(config.head_dim) if pk == 1 else 128)
     return PagedKVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
@@ -275,23 +363,30 @@ def _attention(
     # fused decode path: one Pallas op does the cache append (in place) +
     # GQA attention for single-token steps. The stacked cache buffer is
     # aliased through the kernel, so no cache bytes are copied.
+    # Head-packed layouts (P adjacent KV heads per 128-lane row, see
+    # kv_pack_factor) ride the same kernels with kvh' = KVH/P and
+    # rep' = rep*P: lane-slotted queries select their own head's keys.
     Dp = kv_k_all.shape[-1]  # lane-padded head dim (cache layout)
+    KVHs = kv_k_all.shape[2]  # stored kv rows per token (= KVH / pack)
+    P = KVH // KVHs
+    slot = Dp // P
+    rep_s = H // KVHs
 
     if tables is not None and S == 1 and use_kernels and scalar_scales:
         from compressed_tensors_tpu.ops.kernels.paged_decode import (
             paged_decode_attention,
         )
 
-        pad = [(0, 0)] * 3 + [(0, Dp - D)]
         out, ck, cv = paged_decode_attention(
-            jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
-            jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
-            jnp.pad(v, pad)[:, 0],
+            _slot_queries(q[:, 0], P, slot, Dp, H // KVH),  # (B, H, Dp)
+            _pack_kv_heads(k, P, slot, Dp)[:, 0],           # (B, KVHs, Dp)
+            _pack_kv_heads(v, P, slot, Dp)[:, 0],
             kv_k_all, kv_v_all, tables, cache_lens,
-            kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
+            kvh=KVHs, rep=rep_s, d=Dp, true_d=D,
             k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
         )
-        out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
+        out = _unslot_outputs(out, P, slot, D, H // KVH)
+        out = out.reshape(B, S, H * D).astype(x.dtype)
         return quantized_matmul(out, layer["o_proj"], use_kernels), ck, cv
 
     if tables is not None:
@@ -299,24 +394,24 @@ def _attention(
         # contiguous per-row view, run the dense logic, scatter the pages
         # back. Costs one pool gather+scatter per layer — prefill-only
         # traffic; decode uses the paged kernel above.
-        P = tables.shape[1]
+        NPt = tables.shape[1]
         page = kv_k_all.shape[3]
-        gk = jnp.take(kv_k_all[layer_idx], tables, axis=0)  # (B,P,KVH,pg,Dp)
+        gk = jnp.take(kv_k_all[layer_idx], tables, axis=0)  # (B,NPt,KVHs,pg,Dp)
         gv = jnp.take(kv_v_all[layer_idx], tables, axis=0)
-        dense_k = gk.transpose(0, 2, 1, 3, 4).reshape(B, KVH, P * page, Dp)
-        dense_v = gv.transpose(0, 2, 1, 3, 4).reshape(B, KVH, P * page, Dp)
+        dense_k = gk.transpose(0, 2, 1, 3, 4).reshape(B, KVHs, NPt * page, Dp)
+        dense_v = gv.transpose(0, 2, 1, 3, 4).reshape(B, KVHs, NPt * page, Dp)
         out, nk, nv = _attention_dense_tail(
             layer, x, q, k, v, dense_k, dense_v, cache_lens, config,
             positions, fresh_prefill, k_scale, v_scale, use_kernels)
         # scatter back (duplicate table ids only ever reference the null
         # page 0, whose contents are garbage by contract)
-        nk_pages = nk.reshape(B, KVH, P, page, Dp).transpose(0, 2, 1, 3, 4)
-        nv_pages = nv.reshape(B, KVH, P, page, Dp).transpose(0, 2, 1, 3, 4)
+        nk_pages = nk.reshape(B, KVHs, NPt, page, Dp).transpose(0, 2, 1, 3, 4)
+        nv_pages = nv.reshape(B, KVHs, NPt, page, Dp).transpose(0, 2, 1, 3, 4)
         flat_idx = tables.reshape(-1)
         pool_k = kv_k_all[layer_idx].at[flat_idx].set(
-            nk_pages.reshape(B * P, KVH, page, Dp))
+            nk_pages.reshape(B * NPt, KVHs, page, Dp))
         pool_v = kv_v_all[layer_idx].at[flat_idx].set(
-            nv_pages.reshape(B * P, KVH, page, Dp))
+            nv_pages.reshape(B * NPt, KVHs, page, Dp))
         kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, pool_k,
                                                        layer_idx, 0)
         kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, pool_v,
@@ -336,35 +431,39 @@ def _attention(
         use_flash = scalar_scales and s_max % 64 == 0 and (
             attn_sel == "flash" or (attn_sel == "auto" and s_max >= 512)
         )
-        pad = [(0, 0)] * 3 + [(0, Dp - D)]
-        if use_flash:
-            from compressed_tensors_tpu.ops.kernels.flash_decode import (
-                flash_decode_attention,
-            )
-
-            out, ck, cv = flash_decode_attention(
-                jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
-                jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
-                jnp.pad(v, pad)[:, 0],
-                kv_k_all, kv_v_all, cache_lens,
-                kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
-                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
-            )
+        # per-head (attn_head) scales only compose with the block kernel
+        # on unpacked layouts (their per-kv-row scales cannot vary along
+        # lanes); init the cache with head_pack=False for that case
+        if not scalar_scales and P > 1:
+            pass  # fall through to the jnp path below
         else:
-            from compressed_tensors_tpu.ops.kernels.decode_attention import (
-                decode_attention,
-            )
+            q_s = _slot_queries(q[:, 0], P, slot, Dp, H // KVH)
+            nk = _pack_kv_heads(k, P, slot, Dp)[:, 0]
+            nv = _pack_kv_heads(v, P, slot, Dp)[:, 0]
+            if use_flash:
+                from compressed_tensors_tpu.ops.kernels.flash_decode import (
+                    flash_decode_attention,
+                )
 
-            out, ck, cv = decode_attention(
-                jnp.pad(q, pad)[:, 0],   # (B, H, Dp)
-                jnp.pad(k, pad)[:, 0],   # (B, KVH, Dp)
-                jnp.pad(v, pad)[:, 0],
-                kv_k_all, kv_v_all, cache_lens,
-                kvh=KVH, rep=H // KVH, d=Dp, true_d=D,
-                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
-            )
-        out = out[..., :D].reshape(B, S, H * D).astype(x.dtype)
-        return quantized_matmul(out, layer["o_proj"], use_kernels), ck, cv
+                out, ck, cv = flash_decode_attention(
+                    q_s, nk, nv, kv_k_all, kv_v_all, cache_lens,
+                    kvh=KVHs, rep=rep_s, d=Dp, true_d=D,
+                    k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+                )
+            else:
+                from compressed_tensors_tpu.ops.kernels.decode_attention import (  # noqa: E501
+                    decode_attention,
+                )
+
+                out, ck, cv = decode_attention(
+                    q_s, nk, nv, kv_k_all, kv_v_all, cache_lens,
+                    kvh=KVHs, rep=rep_s, d=Dp, true_d=D,
+                    k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+                )
+            out = _unslot_outputs(out, P, slot, D, H // KVH)
+            out = out.reshape(B, S, H * D).astype(x.dtype)
+            return (quantized_matmul(out, layer["o_proj"], use_kernels),
+                    ck, cv)
 
     # dense (per-slot slab) cache: run the shared tail on this layer's
     # (B, KVH, S_pad, Dp) slice and write it back into the stacked buffer
@@ -401,15 +500,20 @@ def _attention_dense_tail(
     B, S, H, D = q.shape
     KVH = config.num_key_value_heads
     Dp = cache_k_l.shape[-1]
+    KVHs = cache_k_l.shape[1]   # stored rows per token (= KVH / pack)
+    P = KVH // KVHs
+    slot = Dp // P
     cache_dtype = cache_k_l.dtype
 
     # write new K/V into each slot at its own offset [len_b, len_b + S):
-    # cache layout (B, KVH, T, Dp)
-    pad = [(0, 0)] * 3 + [(0, Dp - D)]
-    k_c = _quantize_to_cache(jnp.pad(k, pad), k_scale, cache_dtype)
-    v_c = _quantize_to_cache(jnp.pad(v, pad), v_scale, cache_dtype)
-    k_c = k_c.transpose(0, 2, 1, 3)  # (B, KVH, S, Dp)
-    v_c = v_c.transpose(0, 2, 1, 3)
+    # cache layout (B, KVHs, T, Dp). Quantization happens on the UNPACKED
+    # (B, S, KVH, slot) view (per-head scales align on axis 2), then P
+    # adjacent heads pack into one lane row (free reshape).
+    pad = [(0, 0)] * 3 + [(0, slot - D)]
+    k_q = _quantize_to_cache(jnp.pad(k, pad), k_scale, cache_dtype)
+    v_q = _quantize_to_cache(jnp.pad(v, pad), v_scale, cache_dtype)
+    k_c = _pack_kv_heads(k_q, P, slot, Dp).transpose(0, 2, 1, 3)
+    v_c = _pack_kv_heads(v_q, P, slot, Dp).transpose(0, 2, 1, 3)
     # rows with a negative length are inactive slots (serving engine
     # sentinel): their K/V writes are skipped entirely
     def _write_row(cache_b, new_b, off):
@@ -430,16 +534,20 @@ def _attention_dense_tail(
             prefill_attention,
         )
 
-        k_a = _dequantize_from_cache(k_c, k_scale, x.dtype).transpose(
-            0, 2, 1, 3)[..., :D]
-        v_a = _dequantize_from_cache(v_c, v_scale, x.dtype).transpose(
-            0, 2, 1, 3)[..., :D]
+        # attend over the QDQ'd (pre-pack) K/V so quantized-cache numerics
+        # match what decode reads back
+        k_a = _dequantize_from_cache(k_q, k_scale, x.dtype,
+                                     head_axis=2)[..., :D]
+        v_a = _dequantize_from_cache(v_q, v_scale, x.dtype,
+                                     head_axis=2)[..., :D]
         out = prefill_attention(q, k_a, v_a)
         out = out.reshape(B, S, H * D).astype(x.dtype)
         return quantized_matmul(out, layer["o_proj"], use_kernels), kv_k, kv_v
 
-    keys = _dequantize_from_cache(kv_k, k_scale, x.dtype)[..., :D]
-    values = _dequantize_from_cache(kv_v, v_scale, x.dtype)[..., :D]
+    keys = _dequantize_from_cache(
+        _unpack_kv_heads(kv_k, P, slot, slot), k_scale, x.dtype)[..., :D]
+    values = _dequantize_from_cache(
+        _unpack_kv_heads(kv_v, P, slot, slot), v_scale, x.dtype)[..., :D]
 
     # grouped-query attention without materializing repeated KV heads:
     # fold the query-head groups into the einsum instead of jnp.repeat
@@ -491,8 +599,15 @@ def llama_forward(
     kv_cache: Optional[KVCache] = None,
     fresh_prefill: Optional[bool] = None,
     use_kernels: Optional[bool] = None,
+    last_logit_only: bool = False,
 ):
     """Full forward pass. Returns (logits, updated kv cache).
+
+    :param last_logit_only: compute lm_head logits for the final position
+        only (returns (B, 1, V)). Greedy prefill needs just the last
+        position's logits; skipping the rest saves S x the lm_head matmul
+        and its (B, S, V) HBM writes — the dominant prefill cost for short
+        prompts.
 
     :param fresh_prefill: static hint that every active cache slot is empty
         (lengths 0), enabling the fused flash-prefill kernel. Defaults to
@@ -548,6 +663,8 @@ def llama_forward(
         x = x + _mlp(layer, h, config, use_kernels)
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps)
+    if last_logit_only:
+        x = x[:, -1:, :]
 
     lm_head = params["lm_head"]
     if isinstance(lm_head, QuantizedTensor):

@@ -60,7 +60,17 @@ def _synthetic_qt(rng: np.random.Generator, shape,
         return QuantizedTensor(weight=w, shape=shape, scheme=scheme,
                                format=CompressionFormat.dense.value)
 
-    fmt = scheme.format or CompressionFormat.pack_quantized.value
+    fmt = scheme.format
+    if fmt is None:
+        # infer like compressors/format.py: 8-bit schemes store the quant
+        # dtype directly (int8/fp8 -> the fused W8A8 MXU kernels); sub-byte
+        # int packs into int32
+        if args.num_bits == 8 and args.type == "int":
+            fmt = CompressionFormat.int_quantized.value
+        elif args.num_bits == 8 and args.type == "float":
+            fmt = CompressionFormat.float_quantized.value
+        else:
+            fmt = CompressionFormat.pack_quantized.value
     fmt = CompressionFormat(fmt).value
 
     if fmt == CompressionFormat.pack_quantized.value:
@@ -117,11 +127,16 @@ def make_synthetic_llama(
     dtype=jnp.bfloat16,
     use_kernels: bool = True,
     layer_presets: list[str] | None = None,
+    lm_head_preset: str | None = None,
 ) -> dict:
     """Build a synthetic compressed Llama params pytree.
 
     :param layer_presets: optional per-layer preset overrides (mixed-scheme
         models, BASELINE config 5)
+    :param lm_head_preset: quantize the lm_head with this preset instead of
+        tying it to the bf16 embedding table (the lm_head is the single
+        largest bf16 weight at decode — 0.13 GB for TinyLlama vs 0.48 GB
+        for ALL other weights packed)
     """
     H = config.hidden_size
     I = config.intermediate_size
@@ -192,5 +207,10 @@ def make_synthetic_llama(
                                                dtype, use_kernels)
         params["layers"].append(layer)
 
-    params["lm_head"] = params["embed_tokens"]
+    if lm_head_preset is not None:
+        scheme = preset_name_to_scheme(lm_head_preset, ["Linear"])
+        params["lm_head"] = _synthetic_qt(rng, (V, H), scheme, dtype,
+                                          use_kernels)
+    else:
+        params["lm_head"] = params["embed_tokens"]
     return params

@@ -55,13 +55,13 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
         if has_scales:
             (q_ref, newk_ref, newv_ref, ck_ref, cv_ref, kscale_ref,
              vscale_ref, out_ref, ck_hbm, cv_hbm,
-             stage_k, stage_v, sem, actives_ref) = refs
+             sem, scores_ref, probs_ref) = refs
             k_scale = kscale_ref
             v_scale = vscale_ref
         else:
             (q_ref, newk_ref, newv_ref, ck_ref, cv_ref,
              out_ref, ck_hbm, cv_hbm,
-             stage_k, stage_v, sem, actives_ref) = refs
+             sem, scores_ref, probs_ref) = refs
             k_scale = v_scale = None
         gi = pl.program_id(0)
         h = kvh * rep
@@ -93,14 +93,29 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
 
         align = 32 if jnp.dtype(cache_dtype).itemsize == 1 else 8
         span = min(align, s_max)
-        slot = jax.lax.rem(gi, 2)
-        nprog = pl.num_programs(0)
+
+        def _dsts(b, wstart):
+            if stacked:
+                return (ck_hbm.at[layer, b, :, pl.ds(wstart, span), :],
+                        cv_hbm.at[layer, b, :, pl.ds(wstart, span), :])
+            return (ck_hbm.at[b, :, pl.ds(wstart, span), :],
+                    cv_hbm.at[b, :, pl.ds(wstart, span), :])
 
         # Each program owns g_rows batch rows (static unroll): the per-row
         # attention math is latency-bound small dots (~0.4us fixed cost per
         # grid step at one row/program), so amortizing the grid-step cost
         # over g_rows rows is the difference between overhead-bound and
         # DMA-bound decode attention.
+        #
+        # The per-row work is split into three phases so the softmax — the
+        # dominant per-row serial cost (cross-lane max/sum reductions +
+        # exp latency, ~0.3 ms/step at 22 layers x 64 rows when computed
+        # row-by-row) — runs ONCE, batched over all g_rows rows in the
+        # scores scratch, instead of g_rows serial times:
+        #   1. append the new token per row (dynamic tile RMW)
+        #   2. per-row score dots + masks -> scores scratch (g, h, kvh*s)
+        #   3. one batched softmax over the scratch
+        #   4. per-row output dots + dirty-tile write-back
         for g in range(g_rows):
             b = gi * g_rows + g
             length = lens_ref[b]
@@ -138,16 +153,34 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                     hit, nk_t, ck_tile)
                 cv_ref[g, :, pl.ds(tile0, tspan), :] = jnp.where(
                     hit, nv_t, cv_tile)
+                # write the dirty tile straight back to HBM from the block
+                # (tile-aligned; the rest of the tile holds unchanged data
+                # so rewriting it is a no-op). Issued here, waited in phase
+                # 5: the copy overlaps the score/softmax/output phases.
+                dst_k, dst_v = _dsts(b, tile0)
+                pltpu.make_async_copy(
+                    ck_ref.at[g, :, pl.ds(tile0, span), :], dst_k,
+                    sem.at[0, g]).start()
+                pltpu.make_async_copy(
+                    cv_ref.at[g, :, pl.ds(tile0, span), :], dst_v,
+                    sem.at[1, g]).start()
 
-            # All kv heads fold into a single (h, kvh*s) score matrix: the
-            # cache block (kvh, s, d) is viewed as (kvh*s, d) (a free
-            # reshape — merged leading dims, s % 8 == 0), one MXU dot
-            # computes every (query-head, key) pair, and a block-diagonal
-            # mask keeps only same-group pairs. kvh-times redundant MXU
-            # work, but it turns 2*kvh tiny latency-bound dots per row
-            # into 2 larger ones.
+        # phase 2: per-row score dots + masks into the scores scratch.
+        # All kv heads fold into a single (h, kvh*s) score matrix: the
+        # cache block (kvh, s, d) is viewed as (kvh*s, d) (a free
+        # reshape — merged leading dims, s % 8 == 0), one MXU dot
+        # computes every (query-head, key) pair, and a block-diagonal
+        # mask keeps only same-group pairs. kvh-times redundant MXU
+        # work, but it turns 2*kvh tiny latency-bound dots per row
+        # into 2 larger ones.
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 0)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 1)
+        same_group = (qrow // rep) == (kcol // s_max)
+        kpos = jax.lax.rem(kcol, s_max)
+        for g in range(g_rows):
+            b = gi * g_rows + g
+            length = lens_ref[b]
             keys = dequant(ck_ref[g], k_scale).reshape(ks, d)    # (kvh*s, Dp)
-            values = dequant(cv_ref[g], v_scale).reshape(ks, d)  # (kvh*s, Dp)
             qh = q_ref[g].astype(compute_dtype)  # (h, Dp)
 
             scores = jax.lax.dot_general(
@@ -155,19 +188,29 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * inv_sqrt_d  # (h, kvh*s)
+            # mask per row (the row length is a scalar here; a batched
+            # (g_rows, 1, 1) length vector is a reshape Mosaic can't lower)
+            scores_ref[g] = jnp.where(same_group & (kpos <= length),
+                                      scores, -1e30)
 
-            qrow = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 0)
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 1)
-            same_group = (qrow // rep) == (kcol // s_max)
-            valid = jax.lax.rem(kcol, s_max) <= length
-            scores = jnp.where(same_group & valid, scores, -1e30)
+        # phase 3: ONE batched softmax over every row's scores — the
+        # dominant per-row serial cost (cross-lane max/sum + exp latency)
+        # amortizes over all g_rows rows
+        sc = scores_ref[:]
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        probs_ref[:] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+            compute_dtype)
 
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                compute_dtype
-            )  # zero outside the block diagonal: the dot re-separates heads
-
+        # phase 4: per-row output dots + dirty-tile write-back
+        for g in range(g_rows):
+            b = gi * g_rows + g
+            length = lens_ref[b]
+            active = length >= 0
+            wpos = jnp.maximum(length, 0)
+            values = dequant(cv_ref[g], v_scale).reshape(ks, d)  # (kvh*s, Dp)
+            probs = probs_ref[g]
+            # zero outside the block diagonal: the dot re-separates heads
             out_h = jax.lax.dot_general(
                 probs, values,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -175,60 +218,26 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
             )  # (h, Dp)
             out_ref[g] = out_h.astype(out_ref.dtype)
 
-            # DMA back only the sublane-tile containing the new-token row
-            # (DMA slices must be tile-aligned; the rest of the tile holds
-            # unchanged data so rewriting it is a no-op). The dirty tile is
-            # staged through a double-buffered scratch so the DMA overlaps
-            # later rows/programs — waits are deferred by two programs
-            # instead of stalling inline. Inactive rows write nothing.
+        # phase 5: drain the write-back DMAs issued in phase 1 (they
+        # overlapped phases 2-4; the input block buffer must not be
+        # recycled by the pipeline before the copies out of it complete)
+        for g in range(g_rows):
+            b = gi * g_rows + g
+            length = lens_ref[b]
+            wpos = jnp.maximum(length, 0)
             wstart = jnp.minimum((wpos // align) * align,
                                  jnp.int32(max(s_max - align, 0)))
             wstart = pl.multiple_of(wstart, align)
-            if stacked:
-                dst_k = ck_hbm.at[layer, b, :, pl.ds(wstart, span), :]
-                dst_v = cv_hbm.at[layer, b, :, pl.ds(wstart, span), :]
-            else:
-                dst_k = ck_hbm.at[b, :, pl.ds(wstart, span), :]
-                dst_v = cv_hbm.at[b, :, pl.ds(wstart, span), :]
+            dst_k, dst_v = _dsts(b, wstart)
 
-            def _wait(slot_idx, g=g, dst_k=dst_k, dst_v=dst_v):
-                # transfer sizes are identical across programs, so a
-                # descriptor built from the current refs decrements the
-                # right amount
-                pltpu.make_async_copy(
-                    stage_k.at[slot_idx, g], dst_k, sem.at[slot_idx, 0, g]
-                ).wait()
-                pltpu.make_async_copy(
-                    stage_v.at[slot_idx, g], dst_v, sem.at[slot_idx, 1, g]
-                ).wait()
-
-            # before reusing this slot's stage buffers, drain the DMA
-            # issued two programs ago (actives_ref tracks per-row issue)
-            @pl.when((gi >= 2) & (actives_ref[slot, g] == 1))
-            def _():
-                _wait(slot)
-
-            @pl.when(active)
+            @pl.when(length >= 0)
             def _(g=g, wstart=wstart, dst_k=dst_k, dst_v=dst_v):
-                stage_k[slot, g] = ck_ref[g, :, pl.ds(wstart, span), :]
-                stage_v[slot, g] = cv_ref[g, :, pl.ds(wstart, span), :]
-                pltpu.make_async_copy(stage_k.at[slot, g], dst_k,
-                                      sem.at[slot, 0, g]).start()
-                pltpu.make_async_copy(stage_v.at[slot, g], dst_v,
-                                      sem.at[slot, 1, g]).start()
-
-            actives_ref[slot, g] = jnp.where(active, 1, 0)
-
-            # last program drains everything still in flight for this row
-            @pl.when(gi == nprog - 1)
-            def _(g=g):
-                @pl.when((nprog >= 2) & (actives_ref[1 - slot, g] == 1))
-                def _():
-                    _wait(1 - slot)
-
-                @pl.when(actives_ref[slot, g] == 1)
-                def _():
-                    _wait(slot)
+                pltpu.make_async_copy(
+                    ck_ref.at[g, :, pl.ds(wstart, span), :], dst_k,
+                    sem.at[0, g]).wait()
+                pltpu.make_async_copy(
+                    cv_ref.at[g, :, pl.ds(wstart, span), :], dst_v,
+                    sem.at[1, g]).wait()
 
     return kernel
 
@@ -278,7 +287,7 @@ def decode_attention(
     # over several rows, bounded by the VMEM block budget.
     row_bytes = kvh * s_max * dp * jnp.dtype(cache_k.dtype).itemsize
     g_rows = 1
-    for cand in (8, 4, 2):
+    for cand in (16, 8, 4, 2):
         if b % cand == 0 and cand * row_bytes <= 2 * 1024 * 1024:
             g_rows = cand
             break
@@ -332,10 +341,10 @@ def decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, g_rows, kvh, span, dp), cache_k.dtype),  # stage_k
-            pltpu.VMEM((2, g_rows, kvh, span, dp), cache_k.dtype),  # stage_v
-            pltpu.SemaphoreType.DMA((2, 2, g_rows)),
-            pltpu.SMEM((2, g_rows), jnp.int32),             # issued flags
+            pltpu.SemaphoreType.DMA((2, g_rows)),  # k/v write-back per row
+            # per-program scores/probs staging for the batched softmax
+            pltpu.VMEM((g_rows, kvh * rep, kvh * s_max), jnp.float32),
+            pltpu.VMEM((g_rows, kvh * rep, kvh * s_max), compute_dtype),
         ],
     )
 

@@ -108,6 +108,10 @@ def w8a8_matmul(
         # TN=512 is ~7MB fp8 and double-buffers past the default 16MB
         # scoped-vmem limit
         tn = min(tn, 256)
+    if n > 8192:
+        # huge-N matmuls (lm_head: N=32k): smaller N tiles pipeline the
+        # strided column-slice DMAs better (measured 2.7x at N=32000, B=64)
+        tn = min(tn, 256)
     tn = min(tn, int(np.ceil(n / 128) * 128))
     n_pad = int(np.ceil(n / tn) * tn)
     if n_pad != n:

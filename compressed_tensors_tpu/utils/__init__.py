@@ -11,6 +11,7 @@ from compressed_tensors_tpu.utils.match import (  # noqa: F401
     match_modules_set,
     match_name,
     match_named_modules,
+    match_named_parameters,
     match_quantizable_tensors,
     match_targets,
 )

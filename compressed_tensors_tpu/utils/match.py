@@ -22,6 +22,7 @@ __all__ = [
     "ModuleInfo",
     "match_name",
     "match_named_modules",
+    "match_named_parameters",
     "match_targets",
     "match_modules_set",
     "match_quantizable_tensors",
@@ -140,6 +141,56 @@ def match_named_modules(
             _LOGGER.warning(f"Could not match `{target}` in model")
 
 
+def match_named_parameters(
+    modules: ModuleGraph,
+    targets: Iterable[str] | None,
+    ignore: Iterable[str] | None = None,
+    fused: FusedMapping | None = None,
+    warn_on_fail: bool = False,
+    params: Mapping[str, Iterable[str]] | None = None,
+) -> Generator[tuple[str, str, ModuleInfo], None, None]:
+    """Yield parameters matching `targets` but not `ignore`, in mapping
+    order (ref match.py:73-114 `match_named_parameters`).
+
+    Parameter matching is by fully-qualified name ("{module}.{param}")
+    against name targets only (no class matching, unlike module matching),
+    with the same fused-suffix and `re:` semantics. Internal modules are
+    skipped.
+
+    :param params: module name -> parameter names carried by that module
+        (the stand-in for torch's `named_parameters(recurse=False)`);
+        defaults to a single "weight" per non-container module
+    :return: generator of (param_fqn, module_name, module_info) — the
+        functional analogue of the reference's (fqn, module, param)
+    """
+    targets = list(targets or [])
+    ignore = list(ignore or [])
+
+    unmatched_targets = set(targets)
+    for module_name, module in modules.items():
+        if module.is_internal:
+            continue
+        if params is not None:
+            param_names = list(params.get(module_name, ()))
+        else:
+            param_names = [] if module.type_name == "Module" else ["weight"]
+        for param_name in param_names:
+            param_fqn = f"{module_name}.{param_name}"
+            # NOTE: no break — a param matching several targets yields once
+            # per matching target, mirroring the reference exactly
+            # (ref match.py:96-107 has no break, unlike match_named_modules)
+            for target in targets:
+                if match_name(param_fqn, target, fused):
+                    unmatched_targets -= {target}
+                    if not any(match_name(param_fqn, ign, fused)
+                               for ign in ignore):
+                        yield param_fqn, module_name, module
+
+    if warn_on_fail:
+        for target in unmatched_targets:
+            _LOGGER.warning(f"Could not match `{target}` in model")
+
+
 def match_targets(
     name: str, module: ModuleInfo, targets: Iterable[str] | None
 ) -> list[str]:
@@ -237,7 +288,11 @@ def is_narrow_match(
     targets = [targets] if isinstance(targets, str) else targets
     module = modules[name]
 
-    parent_name = name.rsplit(".", 1)[0] if "." in name else ""
+    # reference quirk kept for parity: a top-level name has no ".", so
+    # rsplit leaves parent_name == name — the parent "match" mirrors the
+    # child and narrow can never be True at top level (ref match.py:384-419,
+    # behavior pinned by the reference's own test_narrow_match_top_level)
+    parent_name = name.rsplit(".", 1)[0]
     parent = modules.get(parent_name, ModuleInfo(type_name="Module"))
 
     child_items = [

@@ -41,11 +41,12 @@ def _setup(rng, tmp_path, kv_scales=False):
     return load_llama_params(save_dir, run_compressed=True, dtype=jnp.float32)
 
 
-def _decode_logits(params, config, ids, cache_dtype=None, fused=True):
+def _decode_logits(params, config, ids, cache_dtype=None, fused=True,
+                   head_pack=None):
     """Prefill then 3 decode steps; returns stacked decode logits."""
     B, S = ids.shape
     cache = init_kv_cache(config, B, S + 3, dtype=jnp.float32,
-                          cache_dtype=cache_dtype)
+                          cache_dtype=cache_dtype, head_pack=head_pack)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
     logits, cache = llama_forward(params, config, jnp.asarray(ids),
@@ -92,11 +93,30 @@ def test_fused_decode_fp8_kv_per_head(rng, tmp_path):
     assert len(np.unique(np.asarray(ks))) > 1  # genuinely per-head
     ids = rng.integers(0, config.vocab_size, size=(2, 5))
     cache_dtype = jnp.dtype(ml_dtypes.float8_e4m3fn)
+    # head_pack=False: per-head scales cannot vary along lanes, so the
+    # fused kernel requires the unpacked one-head-per-row layout
     fused = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
-                           fused=True)
+                           fused=True, head_pack=False)
     eager = _decode_logits(params, config, ids, cache_dtype=cache_dtype,
-                           fused=False)
+                           fused=False, head_pack=False)
     np.testing.assert_allclose(fused, eager, atol=5e-2, rtol=5e-2)
+
+
+def test_head_packed_cache_matches_unpacked(rng, tmp_path):
+    """Head-packed KV layout (P adjacent heads per 128-lane row): fused
+    decode over the packed cache matches the unpacked layout bit-for-value,
+    for both the kernel and the jnp path."""
+    params, config, _ = _setup(rng, tmp_path)
+    assert config.head_dim <= 64  # packing active by default
+    ids = rng.integers(0, config.vocab_size, size=(2, 5))
+    packed_fused = _decode_logits(params, config, ids, fused=True)
+    unpacked_fused = _decode_logits(params, config, ids, fused=True,
+                                    head_pack=False)
+    packed_eager = _decode_logits(params, config, ids, fused=False)
+    np.testing.assert_allclose(packed_fused, unpacked_fused,
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(packed_fused, packed_eager,
+                               atol=2e-3, rtol=1e-2)
 
 
 def test_multi_row_programs_mixed_lengths(rng):

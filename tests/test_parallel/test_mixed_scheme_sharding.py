@@ -54,7 +54,11 @@ def test_mixed_scheme_dp_sp_tp_sharded_matches_single():
     ids_s = jax.device_put(ids, NamedSharding(mesh, P("dp", "sp")))
     pos_s = jax.device_put(pos, NamedSharding(mesh, P("dp", "sp")))
     got = np.asarray(jax.jit(_forward)(sharded, ids_s, pos_s))
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # tolerance note: the W8A8 layers' int8 dots are emulated in f32 on the
+    # CPU test backend, whose 24-bit mantissa rounds K*127^2-scale partial
+    # sums — splitting the contraction over tp changes which roundings
+    # happen. On TPU the MXU accumulates int32 exactly.
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
 
 
 def test_mixed_scheme_kernels_under_shard_map():
