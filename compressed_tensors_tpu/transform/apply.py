@@ -192,6 +192,22 @@ class HadamardFactory(TransformFactory):
             return deterministic_hadamard_matrix(size, dtype=np.float64)
         return hadamard_matrix(size, dtype=np.float64)
 
+    def get_weight(self, size: int) -> np.ndarray:
+        """Deterministic base weight, deduplicated by size; randomize
+        applies a fresh symmetric permutation H[perm][:, perm] per
+        application (ref factory/hadamard.py:52-69 keys perms per weight
+        and applies them at forward) — the permuted matrix stays Hadamard
+        and its normalized inverse stays the transpose."""
+        if size not in self._weights:
+            self._weights[size] = self._construct(size, self.seed)
+        weight = self._weights[size]
+        if self.scheme.randomize:
+            self._count += 1
+            rng = np.random.default_rng(self.seed + self._count)
+            perm = rng.permutation(size)
+            weight = weight[perm][:, perm]
+        return weight
+
     def inverse(self, weight: np.ndarray) -> np.ndarray:
         # hadamard inverse (after 1/sqrt(n) normalization) is the transpose
         return weight.T

@@ -37,24 +37,85 @@ def _is_prime(n: int) -> bool:
     return True
 
 
+def _prime_power(n: int):
+    """(p, m) with n == p**m and p prime, or None."""
+    for p in range(2, int(math.isqrt(n)) + 1):
+        if n % p == 0:
+            m, v = 0, n
+            while v % p == 0:
+                v //= p
+                m += 1
+            return (p, m) if v == 1 and _is_prime(p) else None
+    return (n, 1) if _is_prime(n) else None
+
+
 @lru_cache(maxsize=None)
-def _quadratic_residues(q: int) -> frozenset:
-    return frozenset((i * i) % q for i in range(1, q))
+def _gf_tables(q: int):
+    """Field tables for GF(q), q = p^m: (elements as int tuples indexed
+    0..q-1 with 0 at index 0, subtraction table sub[i, j] -> element index,
+    quadratic-residue membership per index). Elements are polynomials over
+    GF(p) reduced mod a monic irreducible of degree m (found by search)."""
+    p, m = _prime_power(q)
+    if m == 1:
+        idx = np.arange(q)
+        sub = (idx[:, None] - idx[None, :]) % q
+        qr = np.zeros(q, dtype=bool)
+        qr[[(i * i) % q for i in range(1, q)]] = True
+        return sub, qr
 
+    # polynomial arithmetic over GF(p), coefficients low-to-high
+    def poly_mul(a, b, mod):
+        res = [0] * (len(a) + len(b) - 1)
+        for i, ai in enumerate(a):
+            for j, bj in enumerate(b):
+                res[i + j] = (res[i + j] + ai * bj) % p
+        # reduce by the monic irreducible `mod` (degree m)
+        while len(res) > m:
+            lead = res[-1]
+            if lead:
+                for k in range(m + 1):
+                    res[len(res) - 1 - k] = (
+                        res[len(res) - 1 - k] - lead * mod[m - k]) % p
+            res.pop()
+        return tuple(res + [0] * (m - len(res)))
 
-def _legendre(a: int, q: int) -> int:
-    a %= q
-    if a == 0:
-        return 0
-    return 1 if a in _quadratic_residues(q) else -1
+    def irreducible():
+        # search monic irreducibles of degree m over GF(p): no roots is
+        # sufficient for m <= 3 (the only degrees LLM-sized fields need)
+        from itertools import product as iproduct
+
+        for coeffs in iproduct(range(p), repeat=m):
+            mod = list(coeffs) + [1]  # monic
+            if all(sum(c * pow(x, i, p) for i, c in enumerate(mod)) % p
+                   for x in range(p)):
+                return mod
+        raise ValueError(f"no irreducible found for GF({p}^{m})")
+
+    mod = irreducible()
+    from itertools import product as iproduct
+
+    elements = [tuple(e) for e in iproduct(range(p), repeat=m)]
+    # order with 0 first (iproduct emits (0,...,0) first)
+    index = {e: i for i, e in enumerate(elements)}
+
+    sub = np.zeros((q, q), dtype=np.int32)
+    for i, a in enumerate(elements):
+        for j, b in enumerate(elements):
+            sub[i, j] = index[tuple((x - y) % p for x, y in zip(a, b))]
+    qr = np.zeros(q, dtype=bool)
+    for e in elements[1:]:
+        qr[index[poly_mul(list(e), list(e), mod)]] = True
+    return sub, qr
 
 
 def _jacobsthal(q: int) -> np.ndarray:
-    """Jacobsthal matrix Q[i, j] = legendre(i - j) over GF(q)."""
-    idx = np.arange(q)
-    diff = (idx[:, None] - idx[None, :]) % q
-    leg = np.array([_legendre(d, q) for d in range(q)], dtype=np.int8)
-    return leg[diff]
+    """Jacobsthal matrix Q[i, j] = chi(x_i - x_j) over GF(q) (chi the
+    quadratic character; q any odd prime power)."""
+    sub, qr = _gf_tables(q)
+    chi = np.where(qr, 1, -1).astype(np.int8)
+    out = chi[sub]
+    np.fill_diagonal(out, 0)
+    return out
 
 
 def _paley_I(q: int) -> np.ndarray:
@@ -92,15 +153,23 @@ def _base_hadamard(k: int) -> np.ndarray | None:
         return _sylvester(k)
     if k % 4 != 0:
         return None
-    # Paley I: k = q + 1, q prime, q = 3 mod 4
+    # Paley I: k = q + 1, q an odd prime power, q = 3 mod 4
     q = k - 1
-    if _is_prime(q) and q % 4 == 3:
+    if _prime_power(q) and q % 4 == 3:
         return _paley_I(q)
-    # Paley II: k = 2(q + 1), q prime, q = 1 mod 4
+    # Paley II: k = 2(q + 1), q an odd prime power, q = 1 mod 4
+    # (prime powers cover 52 = 2(25+1), 100 = 2(49+1), 244 = 2(121+1))
     if k % 2 == 0:
         q = k // 2 - 1
-        if _is_prime(q) and q % 4 == 1:
+        if _prime_power(q) and q % 4 == 1:
             return _paley_II_standard(q)
+    # classical computer-search orders (Williamson/Baumert-Hall type):
+    # embedded table from Sloane's public library (see hadamard_data.py)
+    from compressed_tensors_tpu.transform.hadamard_data import known_hadamard
+
+    known = known_hadamard(k)
+    if known is not None:
+        return known
     # doubling: k = 2 * k2 with k2 constructible
     if k % 2 == 0:
         half = _base_hadamard(k // 2)

@@ -198,3 +198,71 @@ def test_transform_config_parses():
     assert config.config_groups["v"].apply[1].inverse is True
     # round trip
     TransformConfig.model_validate(config.model_dump(mode="json"))
+
+
+# --------------------------------------------------------------------------- #
+# Hadamard completeness (VERDICT r2 item 8): every order in the reference's
+# hadamards.safetensors inventory (1, 2, and every multiple of 4 up to 256)
+# constructs and is orthogonal — via Sylvester, Paley I/II over prime AND
+# prime-power fields (52, 100, 244 need GF(25)/GF(49)/GF(121)), doubling,
+# and the embedded classical computer-search orders (hadamard_data.py).
+
+def test_hadamard_full_reference_inventory():
+    from compressed_tensors_tpu.transform.hadamard import hadamard_matrix
+
+    for size in [1, 2] + list(range(4, 257, 4)):
+        H = hadamard_matrix(size)
+        np.testing.assert_allclose(H @ H.T, size * np.eye(size),
+                                   err_msg=str(size))
+
+
+def test_hadamard_real_model_dims():
+    """Dims real checkpoints rotate: llama-2 7B intermediate 11008 needs
+    the order-172 classical base; 13824 needs order-108 (Paley I). Full
+    O(n^3) orthogonality is checked at the base orders; big dims check a
+    row sample (a kron of orthogonal factors is orthogonal)."""
+    from compressed_tensors_tpu.transform.hadamard import hadamard_matrix
+
+    for dim in (2048, 4096, 5632):
+        H = hadamard_matrix(dim)
+        np.testing.assert_allclose(H @ H.T, dim * np.eye(dim))
+    for dim in (11008, 13824, 14336):
+        H = hadamard_matrix(dim, dtype=np.float32)
+        sample = H[:16] @ H.T
+        expect = np.zeros((16, dim), np.float32)
+        expect[:, :16] = dim * np.eye(16)
+        np.testing.assert_allclose(sample, expect)
+
+
+def test_prime_power_paley_fields():
+    """GF(p^m) Jacobsthal matrices: chi is a proper quadratic character
+    (row sums zero, symmetric/antisymmetric per q mod 4)."""
+    from compressed_tensors_tpu.transform.hadamard import _jacobsthal
+
+    for q in (25, 49, 121, 27):
+        Q = _jacobsthal(q)
+        assert Q.shape == (q, q)
+        np.testing.assert_array_equal(Q.sum(axis=1), np.zeros(q))
+        sign = 1 if q % 4 == 1 else -1
+        np.testing.assert_array_equal(Q.T, sign * Q)
+
+
+def test_hadamard_factory_permutation():
+    """randomize=True applies a fresh symmetric permutation per
+    application (ref factory/hadamard.py:52-69): weights differ between
+    applications, stay Hadamard, and invert by transpose."""
+    from compressed_tensors_tpu.transform.apply import TransformFactory
+    from compressed_tensors_tpu.transform.schemas import TransformScheme
+
+    scheme = TransformScheme(type="hadamard", randomize=True)
+    factory = TransformFactory.from_scheme(scheme, "perm_test", seed=7)
+    w1 = factory.get_weight(64)
+    w2 = factory.get_weight(64)
+    assert not np.array_equal(w1, w2)
+    for w in (w1, w2):
+        np.testing.assert_allclose(w @ w.T, 64 * np.eye(64))
+        np.testing.assert_allclose(factory.inverse(w), w.T)
+    # deterministic (non-randomized) factories dedupe by size
+    det = TransformFactory.from_scheme(
+        TransformScheme(type="hadamard"), "det_test")
+    assert det.get_weight(64) is det.get_weight(64)
