@@ -147,3 +147,82 @@ def test_reference_packing_matches_ours_bitwise(rng, tmp_path):
     theirs = ref_pack(torch.tensor(np.asarray(q)), 4).numpy()
     np.testing.assert_array_equal(ours_packed, theirs)
     reader.close()
+
+
+# --------------------------------------------------------------------------- #
+# nvfp4 / mxfp4 / mxfp8 cross-library round trips (VERDICT r2 item 2):
+# tensors compressed by OUR codecs decompress identically through the
+# REFERENCE's registered compressors, for the fp4-nibble, E8M0-scale, and
+# fp8 formats. (sparse-24-bitmask has no upstream round-trip: the
+# reference removed its sparse compressor implementations — ref
+# model_compressor.py:73-80 raises for Sparse24 configs — so sparse
+# parity is pinned by our own codec tests instead.)
+
+def _fp4_state(rng, scheme, with_gparam):
+    import jax.numpy as jnp
+
+    from compressed_tensors_tpu.ops import calculate_qparams
+    from compressed_tensors_tpu.ops.qparams import generate_gparam
+
+    w = rng.normal(size=(16, 64)).astype(np.float32)
+    g = w.reshape(w.shape[0], -1, scheme.weights.group_size)
+    mn, mx = jnp.asarray(g.min(-1)), jnp.asarray(g.max(-1))
+    gparam = None
+    if with_gparam:
+        gparam = generate_gparam(jnp.asarray(w.min()), jnp.asarray(w.max()))
+    scale, _ = calculate_qparams(mn, mx, scheme.weights,
+                                 global_scale=gparam)
+    state = {"weight": jnp.asarray(w), "weight_scale": scale}
+    if gparam is not None:
+        state["weight_global_scale"] = gparam
+    return state
+
+
+@pytest.mark.parametrize("preset,fmt,with_gparam", [
+    ("NVFP4A16", "nvfp4-pack-quantized", True),
+    ("MXFP4A16", "mxfp4-pack-quantized", False),
+    ("MXFP8A16", "mxfp8-quantized", False),
+])
+def test_reference_decompresses_fp4_mx_formats(rng, preset, fmt,
+                                               with_gparam):
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("reference oracle unavailable")
+    import torch
+    from compressed_tensors.compressors import BaseCompressor as RefBase
+    from compressed_tensors.quantization import (
+        QuantizationScheme as RefScheme,
+    )
+
+    from compressed_tensors_tpu.compressors import get_compressor
+    from compressed_tensors_tpu.quantization import preset_name_to_scheme
+
+    scheme = preset_name_to_scheme(preset, ["Linear"])
+    state = _fp4_state(rng, scheme, with_gparam)
+
+    ours_compressor = get_compressor(fmt)
+    compressed = ours_compressor.compress(dict(state), scheme)
+    ours_out = ours_compressor.decompress(dict(compressed), scheme)
+    ours_w = np.asarray(ours_out["weight"], np.float32)
+
+    ref_scheme = RefScheme.model_validate(
+        json.loads(scheme.model_dump_json()))
+    ref_compressor = RefBase.get_value_from_registry(fmt)
+
+    def to_torch(v):
+        a = np.asarray(v)
+        if a.dtype.name == "float8_e4m3fn":
+            return torch.tensor(a.view(np.uint8)).view(torch.float8_e4m3fn)
+        if a.dtype.name == "bfloat16":
+            return torch.tensor(a.astype(np.float32)).to(torch.bfloat16)
+        return torch.tensor(a)
+
+    ref_state = {k: to_torch(v) for k, v in compressed.items()}
+    ref_out = ref_compressor.decompress(ref_state, ref_scheme)
+    ref_w = ref_out["weight"].to(torch.float32).numpy()
+
+    np.testing.assert_allclose(ours_w, ref_w, atol=1e-5, rtol=1e-3)
+    # and the decompressed values track the original within fp4/fp8 error
+    w = np.asarray(state["weight"], np.float32)
+    assert np.isfinite(ref_w).all()
+    assert np.abs(ref_w - w).max() < np.abs(w).max()

@@ -204,6 +204,48 @@ def test_mla_interleaved_rope_convention(rng, tmp_path):
                                    atol=5e-4, rtol=1e-3)
 
 
+def test_mla_quantized_latent_cache(rng, tmp_path):
+    """fp8/int8 latent cache via serialized k_scale/v_scale: the absorbed
+    fused-kernel decode over the quantized latent cache matches the eager
+    path, and both track the unquantized cache (DeepSeek kv-cache quant
+    semantics, ref tests/test_modeling/test_deepseekv3_kvcache_quant.py)."""
+    import ml_dtypes
+
+    save_dir, _ = make_tiny_llama_checkpoint(
+        tmp_path, rng, W4A16_G16, model_config=MLA_CONFIG, kv_scales=True)
+    params, config, _ = load_llama_params(save_dir, run_compressed=True,
+                                          dtype=jnp.float32)
+    assert params["layers"][0]["k_scale"].shape == (1,)
+    ids = rng.integers(0, config.vocab_size, size=(2, 6))
+
+    def run(cache_dtype, fused):
+        B, S = ids.shape
+        cache = init_kv_cache(config, B, S + 4, dtype=jnp.float32,
+                              cache_dtype=cache_dtype)
+        positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+        logits, cache = llama_forward(params, config, jnp.asarray(ids),
+                                      positions, cache, use_kernels=fused)
+        outs = []
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        for _ in range(3):
+            logits, cache = llama_forward(
+                params, config, tok[:, None], cache.lengths[:, None], cache,
+                use_kernels=fused)
+            outs.append(np.asarray(logits[:, 0], np.float32))
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return np.stack(outs)
+
+    for cache_dtype in (jnp.dtype(ml_dtypes.float8_e4m3fn), jnp.int8):
+        fused = run(cache_dtype, fused=True)
+        eager = run(cache_dtype, fused=False)
+        np.testing.assert_allclose(fused, eager, atol=5e-2, rtol=5e-2,
+                                   err_msg=str(cache_dtype))
+    # quantized-cache logits stay close to the fp32-cache logits
+    clean = run(None, fused=True)
+    quant = run(jnp.dtype(ml_dtypes.float8_e4m3fn), fused=True)
+    assert np.abs(clean - quant).mean() < 0.5
+
+
 def test_mla_greedy_generate(rng, tmp_path):
     params, config, _ = _setup(rng, tmp_path)
     ids = rng.integers(0, config.vocab_size, size=(1, 4)).astype(np.int32)
