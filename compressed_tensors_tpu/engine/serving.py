@@ -100,15 +100,6 @@ class ServingEngine:
         # (None = environment/backend default at trace time)
         self.use_kernels = use_kernels
 
-        if paged and config.is_mla:
-            # init_paged_kv_cache sizes pools with num_key_value_heads /
-            # head_dim and mla_attention ignores page tables: until the MLA
-            # latent cache is page-pool aware, fail loudly instead of
-            # corrupting silently (ADVICE r2)
-            raise NotImplementedError(
-                "paged KV cache is not yet supported for MLA models; use "
-                "the dense-slab cache (paged=False)"
-            )
         if paged:
             self.cache = init_paged_kv_cache(
                 config, max_batch, max_len, num_pages=num_pages,

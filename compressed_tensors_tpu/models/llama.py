@@ -225,10 +225,15 @@ def init_paged_kv_cache(
     p_max = int(np.ceil(max_len / page_size))
     if num_pages is None:
         num_pages = batch * p_max + 1
-    pk = kv_pack_factor(config, head_pack)
-    shape = (config.num_hidden_layers, num_pages,
-             config.num_key_value_heads // pk, page_size,
-             padded_head_dim(config.head_dim) if pk == 1 else 128)
+    if config.is_mla:
+        # MLA pages hold one latent "head" per token: [c_kv ; k_pe]
+        kvh = 1
+        dp = padded_head_dim(config.kv_lora_rank + config.qk_rope_head_dim)
+    else:
+        pk = kv_pack_factor(config, head_pack)
+        kvh = config.num_key_value_heads // pk
+        dp = padded_head_dim(config.head_dim) if pk == 1 else 128
+    shape = (config.num_hidden_layers, num_pages, kvh, page_size, dp)
     return PagedKVCache(
         k=jnp.zeros(shape, dtype=cd),
         v=jnp.zeros(shape, dtype=cd),
@@ -650,7 +655,7 @@ def llama_forward(
 
             attn_out, kv_k_all, kv_v_all = mla_attention(
                 layer, i, h, cos, sin, kv_k_all, kv_v_all, cache_lens,
-                config, positions, use_kernels=use_kernels,
+                config, positions, use_kernels=use_kernels, tables=tables,
             )
         else:
             attn_out, kv_k_all, kv_v_all = _attention(

@@ -81,8 +81,13 @@ def mla_attention(
     config: LlamaConfig,
     positions: jnp.ndarray,   # (B, S)
     use_kernels: bool = True,  # static: fused Pallas kernel paths
+    tables: jnp.ndarray | None = None,  # (B, P) page tables (paged cache)
 ):
-    """Returns (o_proj output, kv_k_all, kv_v_all)."""
+    """Returns (o_proj output, kv_k_all, kv_v_all). With `tables` the
+    latent cache is a page pool (L, NP, 1, page, Dp): decode rides the
+    paged flash kernel with a single latent head; prefill gathers the
+    rows' pages into a contiguous view, runs the dense logic, and
+    scatters back (mirroring llama._attention's paged paths)."""
     B, S, _ = x.shape
     h = config.num_attention_heads
     nope = config.qk_nope_head_dim
@@ -128,10 +133,6 @@ def mla_attention(
 
     if S == 1 and use_kernels and (k_scale is None) == (v_scale is None):
         # ---- absorbed decode: MQA over the latent head ------------------ #
-        from compressed_tensors_tpu.ops.kernels.decode_attention import (
-            decode_attention,
-        )
-
         q_c = jnp.einsum("bhd,hdr->bhr", q_nope[:, 0], w_kb)  # (B, h, r)
         q_cat = jnp.concatenate([q_c, q_pe[:, 0]], axis=-1)   # (B,h,r+rope)
         pad = Dp - (r + rope_d)
@@ -140,11 +141,26 @@ def mla_attention(
                         ((0, 0), (0, 0), (0, pad)))
         new_v = jnp.pad(lat_v[:, 0][:, None, :],
                         ((0, 0), (0, 0), (0, Dp - r)))
-        out, kv_k_all, kv_v_all = decode_attention(
-            q_cat, new_k, new_v, kv_k_all, kv_v_all, cache_lens,
-            kvh=1, rep=h, d=Dp, true_d=qk_d,
-            k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
-        )
+        if tables is not None:
+            from compressed_tensors_tpu.ops.kernels.paged_decode import (
+                paged_decode_attention,
+            )
+
+            out, kv_k_all, kv_v_all = paged_decode_attention(
+                q_cat, new_k, new_v, kv_k_all, kv_v_all, tables,
+                cache_lens, kvh=1, rep=h, d=Dp, true_d=qk_d,
+                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+            )
+        else:
+            from compressed_tensors_tpu.ops.kernels.decode_attention import (
+                decode_attention,
+            )
+
+            out, kv_k_all, kv_v_all = decode_attention(
+                q_cat, new_k, new_v, kv_k_all, kv_v_all, cache_lens,
+                kvh=1, rep=h, d=Dp, true_d=qk_d,
+                k_scale=k_scale, v_scale=v_scale, layer=layer_idx,
+            )
         out_r = out[..., :r].astype(x.dtype)                  # (B, h, r)
         attn = jnp.einsum("bhr,hvr->bhv", out_r, w_vb)        # (B, h, vd)
         attn = attn.reshape(B, 1, h * vd).astype(x.dtype)
@@ -152,6 +168,38 @@ def mla_attention(
                 kv_k_all, kv_v_all)
 
     # ---- non-absorbed prefill / eager path ------------------------------ #
+    if tables is not None:
+        # gather the rows' pages into a contiguous (B, 1, P*page, Dp) view,
+        # recurse on the dense logic, and scatter the pages back (the
+        # prefill-only gather/scatter mirror of llama._attention's paged
+        # path; duplicate table ids only ever reference the null page 0)
+        NPt = tables.shape[1]
+        page = kv_k_all.shape[3]
+        gk = jnp.take(kv_k_all[layer_idx], tables, axis=0)
+        gv = jnp.take(kv_v_all[layer_idx], tables, axis=0)
+        dense_k = gk.transpose(0, 2, 1, 3, 4).reshape(
+            1, B, 1, NPt * page, Dp)
+        dense_v = gv.transpose(0, 2, 1, 3, 4).reshape(
+            1, B, 1, NPt * page, Dp)
+        out, nk, nv = mla_attention(
+            layer, 0, x, cos, sin, dense_k, dense_v, cache_lens, config,
+            positions, use_kernels=use_kernels, tables=None,
+        )
+        nk_pages = nk[0].reshape(B, 1, NPt, page, Dp).transpose(
+            0, 2, 1, 3, 4)
+        nv_pages = nv[0].reshape(B, 1, NPt, page, Dp).transpose(
+            0, 2, 1, 3, 4)
+        flat_idx = tables.reshape(-1)
+        pool_k = kv_k_all[layer_idx].at[flat_idx].set(
+            nk_pages.reshape(B * NPt, 1, page, Dp))
+        pool_v = kv_v_all[layer_idx].at[flat_idx].set(
+            nv_pages.reshape(B * NPt, 1, page, Dp))
+        kv_k_all = jax.lax.dynamic_update_index_in_dim(kv_k_all, pool_k,
+                                                       layer_idx, 0)
+        kv_v_all = jax.lax.dynamic_update_index_in_dim(kv_v_all, pool_v,
+                                                       layer_idx, 0)
+        return out, kv_k_all, kv_v_all
+
     # write latents at [len_b, len_b+S) (negative length = inactive row)
     lat_k_c = jnp.pad(lat_k, ((0, 0), (0, 0), (0, Dp - (r + rope_d))))
     lat_v_c = jnp.pad(lat_v, ((0, 0), (0, 0), (0, Dp - r)))

@@ -252,3 +252,30 @@ def test_mla_greedy_generate(rng, tmp_path):
     out = greedy_generate(params, config, ids, max_new_tokens=6,
                           dtype=jnp.float32)
     assert out.shape == (1, 10)
+
+
+def test_mla_paged_engine_matches_dense(rng, tmp_path):
+    """MLA + paged KV cache: the page-pool latent cache (paged flash
+    decode with a single latent head, gather/scatter prefill) produces
+    identical completions to the dense-slab MLA engine."""
+    from compressed_tensors_tpu.engine import Request, ServingEngine
+
+    save_dir, _ = make_tiny_llama_checkpoint(
+        tmp_path, rng, W4A16_G16, model_config=MLA_CONFIG)
+    params, config, _ = load_llama_params(save_dir, run_compressed=True,
+                                          dtype=jnp.float32)
+    paged = ServingEngine(params, config, dtype=jnp.float32, max_batch=2,
+                          max_len=32, prefill_chunk=8, paged=True,
+                          page_size=8)
+    dense = ServingEngine(params, config, dtype=jnp.float32, max_batch=2,
+                          max_len=32, prefill_chunk=8)
+    prompts = [rng.integers(0, config.vocab_size, size=(n,)).tolist()
+               for n in (6, 9, 4)]
+    for i, p in enumerate(prompts):
+        paged.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=5))
+        dense.submit(Request(request_id=i, prompt_ids=p, max_new_tokens=5))
+    got = {c.request_id: c.output_ids for c in paged.run()}
+    ref = {c.request_id: c.output_ids for c in dense.run()}
+    assert set(got) == {0, 1, 2}
+    for rid in ref:
+        assert got[rid] == ref[rid], rid
