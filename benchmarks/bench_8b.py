@@ -97,8 +97,20 @@ for i in range(config.num_hidden_layers):
         "input_layernorm": jnp.ones((H,), jnp.bfloat16),
         "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
     })
-params["lm_head"] = jax.random.normal(nk(), (V, H), jnp.bfloat16) * 0.02
-jax.block_until_ready(params["lm_head"])
+# quantized int8 lm_head (the bf16 lm_head is 1.05 GB at 8B — the largest
+# single weight of the decode step; W8A8 halves its bytes and doubles its
+# MXU rate)
+from compressed_tensors_tpu.ops.kernels.w8a8_matmul import prepare_w8_weight
+
+_lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])
+params["lm_head"] = QuantizedTensor(
+    kernel_packed=jax.random.randint(nk(), (H, V), -127, 128, jnp.int8),
+    kernel_scales=jax.random.uniform(nk(), (1, V), jnp.float32, 1e-4, 3e-4),
+    shape=(V, H), scheme=_lm_scheme,
+    format=CompressionFormat.int_quantized.value,
+    kernel_meta=("w8a8", V, H),
+)
+jax.block_until_ready(params["lm_head"].kernel_packed)
 print(f"built in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
 prompt_len = 16

@@ -52,3 +52,83 @@ def test_get_device_map_and_dispatch_with_map():
 
     host = dispatch_with_map(params, {"m.a": -1, "m.b": -1})
     assert isinstance(host["m.a"]["weight"], np.ndarray)
+
+
+# --------------------------------------------------------------------------- #
+# Placement-semantics corpus ported from the reference's
+# tests/test_offload/test_dispatch.py (:121-233): the same two-decoder
+# model expressed as a module-size mapping; assertions are on the plan
+# (device indices) instead of torch device attributes.
+
+# Model(): decoder0{linear0, linear1}, decoder1{linear0, linear1}, sizes in
+# bytes mirroring the reference's Linear(8, 8) modules
+LIN = 8 * 8 * 4
+MODEL_SIZES = {
+    "decoder0.linear0": LIN,
+    "decoder0.linear1": LIN,
+    "decoder1.linear0": LIN,
+    "decoder1.linear1": LIN,
+}
+TOTAL = sum(MODEL_SIZES.values())
+
+
+def test_dispatch_one_device():
+    """Everything fits on one device (ref test_dispatch_one_device)."""
+    plan = dispatch_plan(MODEL_SIZES, [TOTAL])
+    assert set(plan.values()) == {0}
+
+
+def test_dispatch_two_devices():
+    """decoder0 on device 0, decoder1 on device 1
+    (ref test_dispatch_two_devices)."""
+    plan = dispatch_plan(MODEL_SIZES, [2 * LIN, TOTAL - 2 * LIN])
+    assert plan["decoder0.linear0"] == 0
+    assert plan["decoder0.linear1"] == 0
+    assert plan["decoder1.linear0"] == 1
+    assert plan["decoder1.linear1"] == 1
+
+
+def test_dispatch_no_split():
+    """A decoder treated as unsplittable skips a device that only fits one
+    linear: everything lands on device 1 (ref test_dispatch_no_split)."""
+    sizes = {"decoder0": 2 * LIN, "decoder1": 2 * LIN}  # no-split granularity
+    plan = dispatch_plan(sizes, [LIN, TOTAL])
+    assert plan == {"decoder0": 1, "decoder1": 1}
+
+
+def test_dispatch_split():
+    """At linear granularity the first linear uses the small device
+    (ref test_dispatch_split)."""
+    plan = dispatch_plan(MODEL_SIZES, [LIN, TOTAL - LIN])
+    assert plan["decoder0.linear0"] == 0
+    assert plan["decoder0.linear1"] == 1
+    assert plan["decoder1.linear0"] == 1
+    assert plan["decoder1.linear1"] == 1
+
+
+def test_dispatch_offloaded():
+    """Not enough device memory: trailing modules offload to host (-1)
+    while the head stays on device (ref test_dispatch_offloaded)."""
+    sizes = {"decoder0.linear0": LIN, "decoder0.linear1": LIN,
+             "decoder1": 2 * LIN}
+    plan = dispatch_plan(sizes, [2 * LIN])
+    assert plan["decoder0.linear0"] == 0
+    # at least one trailing module is host-offloaded; nothing is dropped
+    assert set(plan) == set(sizes)
+    assert -1 in plan.values()
+
+
+def test_dispatch_cpu_only_via_fallback():
+    """Zero device memory: everything host-offloads rather than raising
+    (ref test_dispatch_cpu_only_via_fallback)."""
+    plan = dispatch_plan(MODEL_SIZES, [0])
+    assert set(plan.values()) == {-1}
+
+
+def test_dispatch_no_fallback_raises():
+    import pytest
+
+    from compressed_tensors_tpu.offload.dispatch import SearchFailureError
+
+    with pytest.raises(SearchFailureError):
+        dispatch_plan(MODEL_SIZES, [0], allow_host_offload=False)
