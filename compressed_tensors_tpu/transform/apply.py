@@ -172,9 +172,11 @@ class TransformFactory(RegistryMixin):
         raise NotImplementedError
 
     def get_weight(self, size: int) -> np.ndarray:
-        if self.scheme.randomize:
-            self._count += 1
-            return self._construct(size, self.seed + self._count)
+        """Weights are deduplicated per size for every factory type — the
+        reference keys its ParameterizedDefaultDict caches by (size, dtype,
+        device), so same-size transforms share one weight regardless of
+        randomize (factory/base.py; randomize only changes HOW the shared
+        weight is constructed/permuted)."""
         if size not in self._weights:
             self._weights[size] = self._construct(size, self.seed)
         return self._weights[size]
@@ -194,19 +196,20 @@ class HadamardFactory(TransformFactory):
 
     def get_weight(self, size: int) -> np.ndarray:
         """Deterministic base weight, deduplicated by size; randomize
-        applies a fresh symmetric permutation H[perm][:, perm] per
-        application (ref factory/hadamard.py:52-69 keys perms per weight
-        and applies them at forward) — the permuted matrix stays Hadamard
+        applies a symmetric permutation H[perm][:, perm], keyed per weight
+        (= per size) exactly like the reference (factory/hadamard.py:52-69
+        keys `perms` by the shared weight Parameter) — every transform
+        built from the same-size weight sees the same permutation, so
+        inverse pairs stay consistent. The permuted matrix stays Hadamard
         and its normalized inverse stays the transpose."""
         if size not in self._weights:
-            self._weights[size] = self._construct(size, self.seed)
-        weight = self._weights[size]
-        if self.scheme.randomize:
-            self._count += 1
-            rng = np.random.default_rng(self.seed + self._count)
-            perm = rng.permutation(size)
-            weight = weight[perm][:, perm]
-        return weight
+            weight = self._construct(size, self.seed)
+            if self.scheme.randomize:
+                rng = np.random.default_rng(self.seed + size)
+                perm = rng.permutation(size)
+                weight = weight[perm][:, perm]
+            self._weights[size] = weight
+        return self._weights[size]
 
     def inverse(self, weight: np.ndarray) -> np.ndarray:
         # hadamard inverse (after 1/sqrt(n) normalization) is the transpose

@@ -149,7 +149,11 @@ def test_online_input_transform_matches_weight_input(rng):
     np.testing.assert_allclose(y_online, y_fused, rtol=1e-10)
 
 
-def test_randomize_creates_distinct_weights(rng):
+def test_randomize_shares_weights_per_size(rng):
+    """Reference parity: transform weights (and randomize permutations)
+    are keyed per size — same-size modules SHARE the randomized weight
+    (ref factory/base.py ParameterizedDefaultDict + factory/hadamard.py
+    perms-per-weight); different seeds produce different weights."""
     modules = {"a": LINEAR, "b": LINEAR}
     states = {"a": {"weight": rng.normal(size=(16, 16))},
               "b": {"weight": rng.normal(size=(16, 16))}}
@@ -158,9 +162,11 @@ def test_randomize_creates_distinct_weights(rng):
               "apply": [{"targets": ["a", "b"], "location": "input"}]}
     })
     _, online = apply_transform_config(states, modules, config, seed=7)
-    wa = online["a"][0].weight
-    wb = online["b"][0].weight
-    assert not np.array_equal(wa, wb)
+    np.testing.assert_array_equal(online["a"][0].weight,
+                                  online["b"][0].weight)
+    _, online2 = apply_transform_config(states, modules, config, seed=8)
+    assert not np.array_equal(online["a"][0].weight,
+                              online2["a"][0].weight)
 
 
 def test_head_dim_block_diagonal(rng):
@@ -248,21 +254,23 @@ def test_prime_power_paley_fields():
 
 
 def test_hadamard_factory_permutation():
-    """randomize=True applies a fresh symmetric permutation per
-    application (ref factory/hadamard.py:52-69): weights differ between
-    applications, stay Hadamard, and invert by transpose."""
+    """randomize=True applies a symmetric permutation keyed per weight
+    (= per size), matching the reference's perms-per-weight caching
+    (ref factory/hadamard.py:52-69): same size -> same permuted weight
+    (inverse pairs stay consistent), different seeds/sizes -> different
+    permutations; permuted matrices stay Hadamard and invert by
+    transpose."""
     from compressed_tensors_tpu.transform.apply import TransformFactory
     from compressed_tensors_tpu.transform.schemas import TransformScheme
 
     scheme = TransformScheme(type="hadamard", randomize=True)
     factory = TransformFactory.from_scheme(scheme, "perm_test", seed=7)
     w1 = factory.get_weight(64)
-    w2 = factory.get_weight(64)
-    assert not np.array_equal(w1, w2)
-    for w in (w1, w2):
-        np.testing.assert_allclose(w @ w.T, 64 * np.eye(64))
-        np.testing.assert_allclose(factory.inverse(w), w.T)
-    # deterministic (non-randomized) factories dedupe by size
-    det = TransformFactory.from_scheme(
-        TransformScheme(type="hadamard"), "det_test")
-    assert det.get_weight(64) is det.get_weight(64)
+    assert factory.get_weight(64) is w1  # keyed per size, like the ref
+    other = TransformFactory.from_scheme(scheme, "perm_test", seed=8)
+    assert not np.array_equal(other.get_weight(64), w1)
+    plain = TransformFactory.from_scheme(
+        TransformScheme(type="hadamard"), "det", seed=7).get_weight(64)
+    assert not np.array_equal(w1, plain)  # permutation applied
+    np.testing.assert_allclose(w1 @ w1.T, 64 * np.eye(64))
+    np.testing.assert_allclose(factory.inverse(w1), w1.T)
