@@ -51,6 +51,18 @@ def save_mtp_tensors_to_checkpoint(
         logger.warning(f"Could not find MTP weights with prefix {mtp_prefix}")
         return
 
+    # the destination must already be a checkpoint (index or single shard):
+    # writing an MTP shard into an empty directory silently produces a
+    # broken checkpoint (ref mtp.py raises on missing destination files)
+    has_index = os.path.exists(
+        os.path.join(dest_dir, "model.safetensors.index.json"))
+    has_single = os.path.exists(os.path.join(dest_dir, "model.safetensors"))
+    if not (has_index or has_single):
+        raise ValueError(
+            f"destination {dest_dir} has neither model.safetensors.index"
+            ".json nor model.safetensors"
+        )
+
     save_safetensors(os.path.join(dest_dir, shard_name), mtp_tensors,
                      metadata={"format": "pt"})
 
