@@ -67,16 +67,22 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
         h = kvh * rep
         ks = kvh * s_max
 
-        def head_scales(scale_ref, extra_dims):
-            # per-head (kvh,) SMEM scales -> broadcastable (kvh, 1[, 1])
-            sc = jnp.stack([scale_ref[i] for i in range(kvh)])
-            return sc.reshape(kvh, *([1] * extra_dims)).astype(jnp.float32)
+        def head_scales(scale_ref, shape):
+            # per-head (kvh,) SMEM scales broadcast over a block whose
+            # leading dim is the kv head: built with iota + scalar selects
+            # (a (kvh,) vector reshaped to (kvh, 1, 1) is a shape cast
+            # Mosaic cannot lower; kvh scalar-broadcast wheres are cheap)
+            rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            sc = jnp.full(shape, scale_ref[0], jnp.float32)
+            for i in range(1, kvh):
+                sc = jnp.where(rows == i, scale_ref[i], sc)
+            return sc
 
         def quantize_new(new, scale_ref):
             # new: (kvh, d)
             if scale_ref is not None and cache_dtype != new.dtype:
-                sc = head_scales(scale_ref, 1)
-                scaled = new.astype(jnp.float32) / sc
+                scaled = new.astype(jnp.float32) / head_scales(
+                    scale_ref, new.shape)
                 if str(cache_dtype).startswith("float8"):
                     return scaled.astype(cache_dtype)
                 return jnp.clip(jnp.round(scaled), -128, 127).astype(
@@ -88,7 +94,8 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
             # v: (kvh, s, d)
             if scale_ref is not None and v.dtype != compute_dtype:
                 return (v.astype(jnp.float32)
-                        * head_scales(scale_ref, 2)).astype(compute_dtype)
+                        * head_scales(scale_ref, v.shape)).astype(
+                    compute_dtype)
             return v.astype(compute_dtype)
 
         align = 32 if jnp.dtype(cache_dtype).itemsize == 1 else 8
