@@ -7,13 +7,14 @@ import os, sys, time
 
 sys.path.insert(0, '/root/repo')
 layout = sys.argv[1] if len(sys.argv) > 1 else "e8"
-os.environ["CT_TPU_W4_LAYOUT"] = layout
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ct_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from compressed_tensors_tpu.flags import set_flags
+set_flags(w4_layout=layout)
 from compressed_tensors_tpu.models.synthetic import LLAMA3_8B
 from compressed_tensors_tpu.models.llama import init_kv_cache, llama_forward
 from compressed_tensors_tpu.ops.linear import QuantizedTensor

@@ -3,10 +3,11 @@ per-dispatch tunnel overhead. One compile: nsteps is traced (while_loop)."""
 import os, sys, time
 sys.path.insert(0, '/root/repo')
 layout = sys.argv[1] if len(sys.argv) > 1 else "auto"
-os.environ["CT_TPU_W4_LAYOUT"] = layout
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ct_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from compressed_tensors_tpu.flags import set_flags
+set_flags(w4_layout=layout)
 from compressed_tensors_tpu.models.synthetic import TINYLLAMA_1_1B, make_synthetic_llama
 from compressed_tensors_tpu.models.llama import init_kv_cache, llama_forward
 from compressed_tensors_tpu.ops.fuse import fuse_llama_layers

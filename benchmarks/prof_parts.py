@@ -3,12 +3,13 @@ lm_head components, each measured as an on-device loop with traced count."""
 import os, sys, time
 sys.path.insert(0, '/root/repo')
 layout = sys.argv[1] if len(sys.argv) > 1 else "e8"
-os.environ["CT_TPU_W4_LAYOUT"] = layout
-if len(sys.argv) > 2:
-    os.environ["CT_TPU_W4_MODE"] = sys.argv[2]
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ct_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from compressed_tensors_tpu.flags import set_flags
+set_flags(w4_layout=layout)
+if len(sys.argv) > 2:
+    set_flags(w4_mode=sys.argv[2])
 from compressed_tensors_tpu.models.synthetic import TINYLLAMA_1_1B, make_synthetic_llama
 from compressed_tensors_tpu.models.llama import init_kv_cache
 from compressed_tensors_tpu.ops.fuse import fuse_llama_layers

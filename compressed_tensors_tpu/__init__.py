@@ -110,3 +110,9 @@ from compressed_tensors_tpu.offload import (  # noqa: F401
     max_binary_search,
 )
 from compressed_tensors_tpu.logger import logger  # noqa: F401
+from compressed_tensors_tpu.flags import (  # noqa: F401
+    FLAGS,
+    flag_overrides,
+    reload_flags_from_env,
+    set_flags,
+)

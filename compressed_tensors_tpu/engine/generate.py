@@ -33,14 +33,16 @@ def make_step_fns(config: LlamaConfig, max_len: int, dtype=jnp.bfloat16,
         positions = jnp.broadcast_to(
             jnp.arange(input_ids.shape[1]), input_ids.shape
         )
-        # prompt is unpadded: the last position's logits are the ones that
-        # matter, so skip the other S-1 lm_head rows entirely
+        # unpadded prompt: only the last position's logits matter, so skip
+        # the other S-1 lm_head rows entirely. Padded prompt (prompt_len <
+        # S): sample at the final *real* position, not the padding.
+        unpadded = prompt_len == input_ids.shape[1]
         logits, cache = llama_forward(params, config, input_ids, positions,
                                       cache, fresh_prefill=True,
                                       use_kernels=use_kernels,
-                                      last_logit_only=(prompt_len ==
-                                                       input_ids.shape[1]))
-        next_token = jnp.argmax(logits[:, -1, :], axis=-1)
+                                      last_logit_only=unpadded)
+        last = -1 if unpadded else prompt_len - 1
+        next_token = jnp.argmax(logits[:, last, :], axis=-1)
         return next_token.astype(jnp.int32), cache, logits
 
     @partial(jax.jit, donate_argnames=("cache",))

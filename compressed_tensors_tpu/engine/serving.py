@@ -242,8 +242,13 @@ class ServingEngine:
         if request.max_new_tokens >= self.max_len:
             # capacity invariant: prompt truncation computes
             # ids[-(max_len - max_new_tokens):], which needs a positive
-            # budget, and decode must never write past max_len (ADVICE r2)
-            request.max_new_tokens = self.max_len - 1
+            # budget, and decode must never write past max_len. Clamp into
+            # an engine-internal copy — never mutate the caller's Request.
+            request = dataclasses.replace(
+                request,
+                max_new_tokens=self.max_len - 1,
+                _generated=list(request._generated),
+            )
         self.queue.append(request)
 
     def _free_slots(self) -> list[int]:
@@ -512,12 +517,32 @@ class ServingEngine:
                         self._ensure_pages(slot, int(lengths[slot]) + burst)
                         break
                     except _PoolExhausted:
-                        victim = self._preempt_newest()
-                        if victim is None:  # pragma: no cover — defensive
+                        cands = [s for s, r in enumerate(self.slot_requests)
+                                 if r is not None]
+                        if not cands:  # pragma: no cover — defensive
                             raise RuntimeError(
                                 "paged KV pool exhausted with no slot to "
                                 "preempt; raise num_pages"
                             ) from None
+                        victim = max(cands, key=lambda s: self._slot_seq[s])
+                        if victim == slot:
+                            # Preempting this slot itself cannot create
+                            # room for its own burst: re-admission prefills
+                            # the same prefix and the same ensure fails
+                            # again (livelock). Shrink the burst first;
+                            # only self-preempt if other slots can still
+                            # make progress and free pages later.
+                            if burst > 1:
+                                burst = 1
+                                continue
+                            if len(cands) == 1:
+                                raise RuntimeError(
+                                    "paged KV pool exhausted: the last "
+                                    "active sequence cannot cover its next "
+                                    "decode write even at burst=1; raise "
+                                    "num_pages or lower max_len"
+                                ) from None
+                        self._preempt_newest()
 
         reqs = [r for r in self.slot_requests if r is not None]
         if not reqs:

@@ -1,0 +1,87 @@
+"""Runtime behavior flags, resolved from the environment ONCE at import.
+
+The reference gates its kernel dispatch with a ``CT_ENFORCE_EAGER`` env var
+read per call (ref utils/impl_backend.py:14-19). Under jit that pattern is
+a trap: an env read at trace time bakes the ambient environment into the
+compiled cache, and later env mutations silently do nothing (or worse,
+retrace). Here every flag is read from the environment exactly once, at
+import (load) time; traced code only ever sees the resolved Python values.
+
+Programmatic control replaces env mutation:
+
+- ``set_flags(pallas_interpret=True)`` — process-wide override
+- ``with flag_overrides(enforce_eager=True): ...`` — scoped override
+- ``reload_flags_from_env()`` — re-resolve (tests that really must use
+  the environment set vars *before* importing the package)
+
+Note jit caches key on traced *values*, not on this object: flipping a
+flag after a function was traced affects only future traces. Thread
+explicit arguments (``use_kernels=...``) through APIs for per-call
+control; flags are the one-time default.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+
+__all__ = ["FLAGS", "set_flags", "flag_overrides", "reload_flags_from_env"]
+
+
+@dataclasses.dataclass
+class _Flags:
+    # force the jnp fallback paths everywhere (no Pallas kernels)
+    enforce_eager: bool = False
+    # run Pallas kernels in interpret mode (CPU CI) and treat the kernel
+    # path as available off-TPU
+    pallas_interpret: bool = False
+    # W4A16 kernel weight layout: "auto" | "packed" (int4-in-int32) |
+    # "e8" (signed int8 expansion)
+    w4_layout: str = "auto"
+    # W4A16 kernel decode mode: "int4" (nibble-plane affine correction) |
+    # "mat" (decode-to-bf16 matmul variant)
+    w4_mode: str = "int4"
+    # decode attention kernel selection: "auto" | "flash" | "block"
+    decode_attn: str = "auto"
+    # disable the native (C++) IO/codec fast paths
+    disable_native: bool = False
+
+
+def _from_env() -> _Flags:
+    env = os.environ.get
+    return _Flags(
+        enforce_eager=env("CT_TPU_ENFORCE_EAGER", "") == "1",
+        pallas_interpret=env("CT_TPU_PALLAS_INTERPRET", "") == "1",
+        w4_layout=env("CT_TPU_W4_LAYOUT", "auto"),
+        w4_mode=env("CT_TPU_W4_MODE", "int4"),
+        decode_attn=env("CT_TPU_DECODE_ATTN", "auto"),
+        disable_native=env("CT_TPU_DISABLE_NATIVE", "") == "1",
+    )
+
+
+FLAGS = _from_env()
+
+
+def set_flags(**kwargs) -> None:
+    """Process-wide flag override; unknown names raise."""
+    for name, value in kwargs.items():
+        if not hasattr(FLAGS, name):
+            raise AttributeError(f"unknown flag {name!r}")
+        setattr(FLAGS, name, value)
+
+
+@contextlib.contextmanager
+def flag_overrides(**kwargs):
+    """Scoped flag override (restores previous values on exit)."""
+    prev = {name: getattr(FLAGS, name) for name in kwargs}
+    set_flags(**kwargs)
+    try:
+        yield FLAGS
+    finally:
+        set_flags(**prev)
+
+
+def reload_flags_from_env() -> None:
+    """Re-resolve every flag from the current environment."""
+    set_flags(**dataclasses.asdict(_from_env()))

@@ -424,7 +424,7 @@ def _attention(
         return out, kv_k_all, kv_v_all
 
     if S == 1 and use_kernels and scales_ok:
-        import os as _os
+        from compressed_tensors_tpu.flags import FLAGS
 
         # kernel choice: the block kernel auto-pipelines the whole allocated
         # cache row (best when the allocation is small/tight); the flash
@@ -432,7 +432,7 @@ def _attention(
         # is serving-scale, i.e. much larger than typical lengths). Only the
         # block kernel consumes per-head (attn_head) scales.
         s_max = kv_k_all.shape[3]
-        attn_sel = _os.environ.get("CT_TPU_DECODE_ATTN", "auto")
+        attn_sel = FLAGS.decode_attn
         use_flash = scalar_scales and s_max % 64 == 0 and (
             attn_sel == "flash" or (attn_sel == "auto" and s_max >= 512)
         )

@@ -130,16 +130,33 @@ class DeviceCache(OffloadCache):
 
 class DiskCache(OffloadCache):
     """Offloaded representation is a safetensors file per tensor
-    (ref cache/disk.py:60-178)."""
+    (ref cache/disk.py:60-178).
+
+    Zero-copy checkpoint interop (ref cache/disk.py:153-178): a tensor that
+    comes straight from a checkpoint shard can be `adopt`ed — its offloaded
+    representation is then a *symlink* to the shard, no bytes are copied.
+    The first `update` of an adopted tensor breaks the link and writes a
+    cache-owned file; `save_checkpoint` symlinks still-clean adopted tensors
+    into the destination instead of rewriting their bytes.
+    """
 
     def __init__(self, directory: str, onload_device=None):
         super().__init__(onload_device)
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
         self._counter = 0
+        # path -> safetensors tensor name (adopted entries keep the
+        # checkpoint's name; cache-written files use "tensor")
+        self._tensor_name: dict[str, str] = {}
 
     def _path(self, suffix: int) -> str:
         return os.path.join(self.directory, f"tensor_{suffix}.safetensors")
+
+    def _owned(self, path: str) -> bool:
+        """Only ever delete/overwrite files this cache created."""
+        return os.path.dirname(os.path.abspath(path)) == os.path.abspath(
+            self.directory
+        )
 
     def offload(self, value) -> str:
         from compressed_tensors_tpu.utils.safetensors_io import save_safetensors
@@ -154,18 +171,69 @@ class DiskCache(OffloadCache):
 
         f = SafetensorsFile(stored)
         try:
-            return jax.device_put(f.get("tensor"), self.onload_device)
+            tensor_name = self._tensor_name.get(stored, "tensor")
+            return jax.device_put(f.get(tensor_name), self.onload_device)
         finally:
             f.close()
 
     def update_offload(self, name, stored: str, value):
         from compressed_tensors_tpu.utils.safetensors_io import save_safetensors
 
+        assert self._owned(stored), f"refusing to write to {stored}"
+        if os.path.islink(stored):
+            # adopted checkpoint tensor: break the link, never write
+            # through it into the source shard
+            os.unlink(stored)
+            self._tensor_name.pop(stored, None)
         save_safetensors(stored, {"tensor": np.asarray(value)})
         return stored
 
     def __delitem__(self, name: str) -> None:
         path = self._store.get(name)
         super().__delitem__(name)
-        if path and os.path.exists(path):
-            os.remove(path)
+        if path:
+            self._tensor_name.pop(path, None)
+            if self._owned(path) and os.path.lexists(path):
+                os.remove(path)
+
+    # zero-copy checkpoint interop -------------------------------------- #
+    def adopt(self, name: str, source_path: str, tensor_name: str) -> None:
+        """Register `tensor_name` inside the checkpoint shard `source_path`
+        as this entry's offloaded representation without copying bytes:
+        the cache entry is a symlink to the shard."""
+        if name in self._store:
+            del self[name]
+        link = self._path(self._counter)
+        self._counter += 1
+        os.symlink(os.path.abspath(source_path), link)
+        self._store[name] = link
+        self._tensor_name[link] = tensor_name
+        self._onloaded.pop(name, None)
+
+    def is_adopted(self, name: str) -> bool:
+        """True while the entry is still an unmodified checkpoint symlink."""
+        path = self._store.get(name)
+        return path is not None and os.path.islink(path)
+
+    def save_checkpoint(self, out_dir: str) -> dict[str, str]:
+        """Write every entry under `out_dir/<name>.safetensors`. Entries
+        still backed by an unmodified checkpoint symlink are symlinked —
+        their shard bytes are never re-read or re-written (inode-equal to
+        the source); modified/native entries are written normally.
+
+        :return: name -> file path map
+        """
+        import shutil
+
+        os.makedirs(out_dir, exist_ok=True)
+        out: dict[str, str] = {}
+        for name, path in self._store.items():
+            dest = os.path.join(out_dir, f"{name}.safetensors")
+            if os.path.lexists(dest):
+                os.remove(dest)
+            if os.path.islink(path):
+                os.symlink(os.path.realpath(path), dest)
+            else:
+                shutil.copyfile(path, dest)
+            out[name] = dest
+        return out

@@ -30,7 +30,6 @@ read) at half/quarter the bytes.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,10 @@ __all__ = ["decode_attention"]
 
 
 def _interpret() -> bool:
-    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+    # load-time-resolved flag (never an env read at trace time)
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.pallas_interpret:
         return True
     return jax.default_backend() not in ("tpu",)
 

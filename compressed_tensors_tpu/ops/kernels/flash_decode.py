@@ -27,7 +27,6 @@ Cache layout: stacked (L, B, KVH, S_pad, Dp); caches alias in/out in HBM.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +40,10 @@ NLB = 3  # loop-chunk buffer ring depth (2 DMAs in flight + 1 in use)
 
 
 def _interpret() -> bool:
-    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+    # load-time-resolved flag (never an env read at trace time)
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.pallas_interpret:
         return True
     return jax.default_backend() not in ("tpu",)
 

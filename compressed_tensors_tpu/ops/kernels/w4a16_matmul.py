@@ -33,7 +33,6 @@ scale 0, so they contribute exactly 0).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +54,10 @@ PLANES = 8  # nibbles per int32
 
 
 def _interpret() -> bool:
-    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+    # load-time-resolved flag (never an env read at trace time)
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.pallas_interpret:
         return True
     return jax.default_backend() not in ("tpu",)
 
@@ -155,31 +157,49 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
             return
 
         if mode == "mat":
-            # materialize the dequantized (TK, TN) weight tile in-register
-            # and run ONE full-depth MXU dot. At decode batches (B < 128
-            # rows) the MXU is row-underutilized, so many shallow
-            # depth-`group_size` dots are fill/drain-bound; one deep dot
-            # amortizes the pipeline ~8x. VPU cost: shift+mask+convert+
-            # mul+sub = ~5 ops/elem on the packed bytes.
+            # materialize the *scaled* (TK, TN) weight tile in-register and
+            # run ONE full-depth MXU dot; the offset part of the affine
+            # dequant is NOT baked into the tile — it is applied afterwards
+            # as the same batched rank-8 correction the int4 mode uses.
+            # At decode batches (B < 128 rows) the MXU is row-underutilized,
+            # so many shallow depth-`group_size` dots are fill/drain-bound;
+            # one deep dot amortizes the pipeline ~8x.
             rows = []
             for j in range(PLANES):
                 code_j = ((uw >> jnp.uint32(4 * j))
                           & jnp.uint32(0xF)).astype(jnp.int32)
                 s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
-                if has_zp:
-                    b_j = (rest[0][j, :].astype(jnp.float32) + 8.0) * s_j
-                else:
-                    b_j = 8.0 * s_j
-                w_j = code_j.astype(jnp.float32) * s_j[None, :] - b_j[None, :]
+                w_j = code_j.astype(jnp.float32) * s_j[None, :]
                 rows.append(w_j.astype(compute))
             w = jnp.concatenate(rows, axis=0)  # (TK, TN)
-            out_ref[:] += jax.lax.dot_general(
+            acc = jax.lax.dot_general(
                 x.astype(compute), w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            xg = x.astype(jnp.float32).reshape(x.shape[0], PLANES,
+                                               group_size)
+            sum_x = jnp.sum(xg, axis=2)  # (TB, PLANES)
+            s_all = scale_ref[:].astype(jnp.float32)  # (PLANES, TN)
+            if has_zp:
+                off = (rest[0][:].astype(jnp.float32) + 8.0) * s_all
+            else:
+                off = 8.0 * s_all
+            corr = jax.lax.dot_general(
+                sum_x, off,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[:] += acc - corr
             return
 
+        # int4 mode. Per plane the VPU only extracts+converts the nibbles
+        # and scales the partial dot; the affine offset of all 8 planes is
+        # applied at the end as ONE rank-8 MXU dot
+        #   corr = [sum(x_0) .. sum(x_7)] @ [(8+zp_j) * s_j]_j
+        # ((TB, 8) @ (8, TN)) instead of 8 per-plane (TB,1)x(1,TN) outer
+        # products + subtracts — ~2 fewer VPU ops per (TB, TN) tile per
+        # plane, which is what was starving the MXU at full batches.
         acc = None
         for j in range(PLANES):
             code_j = ((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF)).astype(
@@ -194,17 +214,22 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (TB, TN)
-            sum_xj = jnp.sum(
-                x_j.astype(jnp.float32), axis=1, keepdims=True
-            )  # (TB, 1)
-            if has_zp:
-                off_j = (rest[0][j, :].astype(jnp.float32) + 8.0) * s_j
-            else:
-                off_j = 8.0 * s_j
-            term = partial * s_j[None, :] - sum_xj * off_j[None, :]
+            term = partial * s_j[None, :]
             acc = term if acc is None else acc + term
 
-        out_ref[:] += acc
+        xg = x.astype(jnp.float32).reshape(x.shape[0], PLANES, group_size)
+        sum_x = jnp.sum(xg, axis=2)  # (TB, PLANES)
+        s_all = scale_ref[:].astype(jnp.float32)  # (PLANES, TN)
+        if has_zp:
+            off = (rest[0][:].astype(jnp.float32) + 8.0) * s_all
+        else:
+            off = 8.0 * s_all
+        corr = jax.lax.dot_general(
+            sum_x, off,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] += acc - corr
 
     return kernel
 

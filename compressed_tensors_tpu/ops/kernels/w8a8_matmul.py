@@ -15,7 +15,6 @@ Weight layout: stored transposed (K, N) so the contraction is over sublanes
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,10 @@ __all__ = ["w8a8_matmul", "prepare_w8_weight"]
 
 
 def _interpret() -> bool:
-    if os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1":
+    # load-time-resolved flag (never an env read at trace time)
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.pallas_interpret:
         return True
     return jax.default_backend() not in ("tpu",)
 

@@ -454,10 +454,11 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
     # layout choice: "e8" expands to signed int8 k-major (1 convert/elem in
     # the kernel instead of nibble extraction — decode is VPU-bound on v5e)
     # at 2x the packed HBM bytes; "packed" keeps int4-in-int32. Symmetric
-    # schemes only (e8 has no zero-point path).
-    import os as _os
+    # schemes only (e8 has no zero-point path). Resolved at load time
+    # (prepare_for_kernels runs outside jit) from the one-shot flags.
+    from compressed_tensors_tpu.flags import FLAGS
 
-    layout = _os.environ.get("CT_TPU_W4_LAYOUT", "auto")
+    layout = FLAGS.w4_layout
     if layout == "auto":
         # packed int4 halves weight HBM traffic + footprint vs e8; at
         # 8B scale it wins outright (HBM-bound), at 1B scale it ties
@@ -512,14 +513,11 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
 
 
 def _kernel_enabled() -> bool:
-    import os
+    from compressed_tensors_tpu.flags import FLAGS
 
-    if os.environ.get("CT_TPU_ENFORCE_EAGER", "") == "1":
+    if FLAGS.enforce_eager:
         return False
-    return (
-        jax.default_backend() == "tpu"
-        or os.environ.get("CT_TPU_PALLAS_INTERPRET", "") == "1"
-    )
+    return jax.default_backend() == "tpu" or FLAGS.pallas_interpret
 
 
 # --------------------------------------------------------------------------- #
@@ -724,11 +722,10 @@ def quantized_matmul(
                 out_dtype=x.dtype,
             ).reshape(*lead, n)
         else:
+            from compressed_tensors_tpu.flags import FLAGS
             from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
                 w4a16_matmul,
             )
-
-            import os as _os
 
             kind, n, k, k_pad, group_size, tk = qt.kernel_meta
             out = w4a16_matmul(
@@ -736,8 +733,7 @@ def quantized_matmul(
                 qt.kernel_zp,
                 n=n, k=k_pad, group_size=group_size, tk=tk,
                 out_dtype=x.dtype,
-                mode="fp4" if kind == "fp4"
-                else _os.environ.get("CT_TPU_W4_MODE", "int4"),
+                mode="fp4" if kind == "fp4" else FLAGS.w4_mode,
             ).reshape(*lead, n)
     elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)

@@ -239,7 +239,9 @@ class QuantizationArgs(BaseModel, use_enum_values=True):
         observer = model.observer
         zp_dtype = model.zp_dtype
 
-        # infer strategy from group_size (ref quant_args.py:313-324)
+        # group_size doubles as a strategy selector when strategy is
+        # omitted: positive -> group, -1 -> channel, absent -> tensor
+        # (ref quant_args.py:313-324 behavior)
         if strategy is None:
             if group_size is None:
                 strategy = QuantizationStrategy.TENSOR
@@ -249,72 +251,76 @@ class QuantizationArgs(BaseModel, use_enum_values=True):
                 strategy = QuantizationStrategy.CHANNEL
             else:
                 raise ValueError(
-                    f"Invalid group size {group_size}. Use group_size > 0 for "
-                    "strategy='group' and group_size = -1 for 'channel'"
+                    f"group_size={group_size} selects no strategy: positive "
+                    "means 'group', -1 means 'channel'"
                 )
 
         if strategy == QuantizationStrategy.TOKEN and not dynamic:
+            # token scales depend on the activation batch, which only
+            # exists at run time
             raise ValueError(
-                "Cannot perform static token quantization, please use `dynamic=True`"
+                "token strategy is inherently dynamic; set dynamic=True"
             )
 
-        if strategy in (QuantizationStrategy.GROUP, QuantizationStrategy.TENSOR_GROUP):
-            if group_size is None or group_size <= 0:
-                raise ValueError(
-                    f"strategy {strategy} requires group_size to be "
-                    "set to a positive value"
-                )
-        if (
-            group_size is not None
-            and group_size > 0
-            and strategy
-            not in (QuantizationStrategy.GROUP, QuantizationStrategy.TENSOR_GROUP)
+        grouped = strategy in (QuantizationStrategy.GROUP,
+                               QuantizationStrategy.TENSOR_GROUP)
+        if grouped and (group_size is None or group_size <= 0):
+            raise ValueError(
+                f"a positive group_size is required for strategy {strategy}"
+            )
+        if not grouped and group_size is not None and group_size > 0:
+            raise ValueError(
+                f"group_size is meaningless under strategy {strategy}; "
+                "use 'group' or 'tensor_group'"
+            )
+
+        if (strategy == QuantizationStrategy.BLOCK) != (
+            block_structure is not None
         ):
-            raise ValueError("group_size requires strategy to be set to 'group'")
+            raise ValueError(
+                "block strategy and block_structure come as a pair — "
+                f"got strategy={strategy}, block_structure={block_structure}"
+            )
 
-        has_block_strategy = strategy == QuantizationStrategy.BLOCK
-        has_block_structure = block_structure is not None
-        if has_block_strategy and not has_block_structure:
-            raise ValueError(f"Block strategy requires block structure\n{model}")
-        if has_block_structure and not has_block_strategy:
-            raise ValueError(f"Block structure requires block strategy\n{model}")
-
-        if actorder is not None and actorder == ActivationOrdering.GROUP:
-            if strategy not in (
-                QuantizationStrategy.GROUP,
-                QuantizationStrategy.TENSOR_GROUP,
-            ):
-                raise ValueError(
-                    "Must use group or tensor_group quantization strategy in "
-                    "order to apply group activation ordering"
-                )
+        if (
+            actorder is not None
+            and actorder == ActivationOrdering.GROUP
+            and not grouped
+        ):
+            raise ValueError(
+                "actorder='group' reorders within quantization groups, so "
+                "it needs a grouped strategy"
+            )
 
         if dynamic:
-            supported_strategies = (
+            if strategy not in (
                 QuantizationStrategy.TOKEN,
                 QuantizationStrategy.TENSOR,
                 QuantizationStrategy.TENSOR_GROUP,
                 QuantizationStrategy.GROUP,
-            )
-            if strategy not in supported_strategies:
+            ):
                 raise ValueError(
-                    f"One of {supported_strategies} must be used for dynamic quant."
+                    f"dynamic quantization cannot compute {strategy} scales "
+                    "at run time; use token/tensor/group/tensor_group"
                 )
             if (
                 dynamic == DynamicType.LOCAL
                 and strategy != QuantizationStrategy.TENSOR_GROUP
             ):
-                raise ValueError("local is only supported for strategy tensor_group")
+                raise ValueError(
+                    "dynamic='local' (static global scale, dynamic locals) "
+                    "only makes sense for tensor_group"
+                )
             if observer is not None:
                 if dynamic is True:
                     if observer != "memoryless":
                         warnings.warn(
-                            "No observer is used for dynamic quant., setting to None"
+                            "dynamic quantization needs no observer; "
+                            "dropping it"
                         )
                     observer = None
-            else:
-                if dynamic == DynamicType.LOCAL:
-                    observer = "minmax"
+            elif dynamic == DynamicType.LOCAL:
+                observer = "minmax"
         elif observer is None:
             observer = "memoryless_minmax"
 

@@ -42,49 +42,57 @@ class QuantizationScheme(BaseModel, use_enum_values=True):
     output_activations: QuantizationArgs | None = None
     format: CompressionFormat | None = None
 
+    # strategies that make sense for activations: per-call-row (token),
+    # whole-tensor, grouped along the feature dim, or per attention head —
+    # never channel/block, which index the weight matrix
+    _ACT_STRATEGIES = frozenset({
+        QuantizationStrategy.TOKEN,
+        QuantizationStrategy.TENSOR,
+        QuantizationStrategy.GROUP,
+        QuantizationStrategy.TENSOR_GROUP,
+        QuantizationStrategy.ATTN_HEAD,
+    })
+
     @model_validator(mode="after")
     def validate_model_after(model: "QuantizationScheme") -> "QuantizationScheme":
-        inputs = model.input_activations
-        outputs = model.output_activations
         weights = model.weights
-        format = model.format
 
-        if inputs is not None:
-            if inputs.strategy not in (
-                QuantizationStrategy.TOKEN,
-                QuantizationStrategy.TENSOR,
-                QuantizationStrategy.GROUP,
-                QuantizationStrategy.TENSOR_GROUP,
-                QuantizationStrategy.ATTN_HEAD,
-            ):
+        for field, acts in (("input", model.input_activations),
+                            ("output", model.output_activations)):
+            if acts is None:
+                continue
+            if field == "input" and acts.strategy not in model._ACT_STRATEGIES:
                 raise NotImplementedError(
-                    f"Using {inputs.strategy} strategy is not supported for "
-                    "activation quantization"
+                    f"activation quantization has no {acts.strategy} variant"
                 )
-            if inputs.actorder is not None:
-                raise ValueError("Cannot apply actorder to input activations")
+            if acts.actorder is not None:
+                raise ValueError(
+                    f"actorder is a weight-only option; remove it from "
+                    f"{field}_activations"
+                )
 
-        if outputs is not None and outputs.actorder is not None:
-            raise ValueError("Cannot apply actorder to output activations")
-
-        if format == CompressionFormat.mixed_precision:
+        if model.format == CompressionFormat.mixed_precision:
+            # mixed_precision is a whole-model summary format; individual
+            # schemes must each carry their concrete format
             raise ValueError(
-                "mixed-precision cannot be set as a format for a QuantizationScheme"
+                "a single QuantizationScheme cannot use the mixed-precision "
+                "format"
             )
 
+        inputs = model.input_activations
         if (
-            inputs
-            and weights
-            and weights.strategy == QuantizationStrategy.GROUP
-            and inputs.strategy == QuantizationStrategy.GROUP
+            weights is not None
+            and inputs is not None
+            and QuantizationStrategy.GROUP
+            == weights.strategy
+            == inputs.strategy
             and weights.group_size != inputs.group_size
         ):
             warnings.warn(
-                "Using GROUP strategy for both weights and input_activations "
-                f"with different group sizes ({weights.group_size} vs "
-                f"{inputs.group_size}) may complicate fused kernel "
-                "implementations. Consider using TENSOR_GROUP strategy for both "
-                "or matching group sizes.",
+                f"weight group_size {weights.group_size} != activation "
+                f"group_size {inputs.group_size}; a fused kernel would have "
+                "to reconcile the two grids — prefer equal sizes (or "
+                "TENSOR_GROUP on both sides)",
                 UserWarning,
                 stacklevel=2,
             )
@@ -98,8 +106,15 @@ class QuantizationScheme(BaseModel, use_enum_values=True):
     model_config = ConfigDict(extra="forbid")
 
 
+def _q(bits: int, qtype: str, strategy: str, **kw) -> QuantizationArgs:
+    """Terse QuantizationArgs constructor for the preset table (defaults:
+    symmetric, static)."""
+    return QuantizationArgs(num_bits=bits, type=qtype, strategy=strategy, **kw)
+
+
 def _int_wnam(weight_bits: int, act_bits: int = 16) -> dict:
-    """Generic WxAy integer scheme template (ref quant_scheme.py:104-131)."""
+    """Generic WxAy integer scheme template (ref quant_scheme.py:104-131):
+    g128 symmetric int weights; below 16-bit, dynamic per-token int acts."""
     if weight_bits < 2 or weight_bits > 8:
         raise ValueError(f"weight_bits must be 2-8, got {weight_bits}")
     if act_bits not in (4, 8, 16):
@@ -108,24 +123,10 @@ def _int_wnam(weight_bits: int, act_bits: int = 16) -> dict:
         raise ValueError(
             f"weight_bits ({weight_bits}) must be <= act_bits ({act_bits})"
         )
-    scheme = dict(
-        weights=QuantizationArgs(
-            num_bits=weight_bits,
-            type=QuantizationType.INT,
-            strategy=QuantizationStrategy.GROUP,
-            group_size=128,
-            symmetric=True,
-            dynamic=False,
-        ),
-    )
+    scheme = dict(weights=_q(weight_bits, "int", "group", group_size=128))
     if act_bits < 16:
-        scheme["input_activations"] = QuantizationArgs(
-            num_bits=act_bits,
-            type=QuantizationType.INT,
-            strategy=QuantizationStrategy.TOKEN,
-            symmetric=True,
-            dynamic=True,
-        )
+        scheme["input_activations"] = _q(act_bits, "int", "token",
+                                         dynamic=True)
     return scheme
 
 
@@ -147,115 +148,39 @@ def is_preset_scheme(name: str) -> bool:
 UNQUANTIZED = dict()
 
 _UINT8 = np.dtype(np.uint8)
+_FP8D = FP8_E4M3_DATA.dtype
 
-NVFP4A16 = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TENSOR_GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=16,
-        scale_dtype=FP8_E4M3_DATA.dtype,
-        zp_dtype=FP8_E4M3_DATA.dtype,
-    )
-)
+# --- FP4/FP8 microscaling families ---------------------------------------
+# NVFP4: 16-element groups, fp8 local scales + fp32 global scale
+# (tensor_group); MX: 32-element groups with uint8 E8M0 power-of-two scales.
 
+_NVFP4_W = _q(4, "float", "tensor_group", group_size=16,
+              scale_dtype=_FP8D, zp_dtype=_FP8D)
+
+NVFP4A16 = dict(weights=_NVFP4_W)
 NVFP4 = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TENSOR_GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=16,
-        scale_dtype=FP8_E4M3_DATA.dtype,
-        zp_dtype=FP8_E4M3_DATA.dtype,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TENSOR_GROUP,
-        symmetric=True,
-        dynamic=DynamicType.LOCAL,
-        group_size=16,
-        observer="static_minmax",
-        scale_dtype=FP8_E4M3_DATA.dtype,
-        zp_dtype=FP8_E4M3_DATA.dtype,
-    ),
+    weights=_NVFP4_W,
+    input_activations=_q(4, "float", "tensor_group", group_size=16,
+                         dynamic=DynamicType.LOCAL, observer="static_minmax",
+                         scale_dtype=_FP8D, zp_dtype=_FP8D),
 )
 
-MXFP4A16 = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    )
-)
 
-MXFP4 = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        dynamic=True,
-        symmetric=True,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    ),
-)
+def _mx(bits: int, acts: bool) -> dict:
+    kw = dict(group_size=32, scale_dtype=_UINT8, zp_dtype=_UINT8)
+    scheme = dict(weights=_q(bits, "float", "group", **kw))
+    if acts:
+        scheme["input_activations"] = _q(bits, "float", "group",
+                                         dynamic=True, **kw)
+    return scheme
 
-MXFP8A16 = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    )
-)
 
-MXFP8 = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        symmetric=True,
-        dynamic=False,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        dynamic=True,
-        symmetric=True,
-        group_size=32,
-        scale_dtype=_UINT8,
-        zp_dtype=_UINT8,
-    ),
-)
+MXFP4A16 = _mx(4, acts=False)
+MXFP4 = _mx(4, acts=True)
+MXFP8A16 = _mx(8, acts=False)
+MXFP8 = _mx(8, acts=True)
+
+# --- integer WxAy family --------------------------------------------------
 
 W2A4 = _int_wnam(2, 4)
 W2A8 = _int_wnam(2, 8)
@@ -274,105 +199,41 @@ W7A8 = _int_wnam(7, 8)
 W7A16 = _int_wnam(7)
 W8A16 = _int_wnam(8)
 
+# --- named production schemes --------------------------------------------
+
+# per-channel int8 weights, dynamic per-token int8 acts
 INT8_W8A8 = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.INT,
-        strategy=QuantizationStrategy.CHANNEL,
-        symmetric=True,
-        dynamic=False,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.INT,
-        strategy=QuantizationStrategy.TOKEN,
-        symmetric=True,
-        dynamic=True,
-    ),
+    weights=_q(8, "int", "channel"),
+    input_activations=_q(8, "int", "token", dynamic=True),
 )
 
+# AWQ-style asymmetric 4-bit grouped weights, bf16 acts
 W4A16_ASYM = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.INT,
-        strategy=QuantizationStrategy.GROUP,
-        group_size=128,
-        symmetric=False,
-        dynamic=False,
-    ),
+    weights=_q(4, "int", "group", group_size=128, symmetric=False),
 )
 
+# int4 grouped weights with dynamic per-token fp8 acts
 W4AFP8 = dict(
-    weights=QuantizationArgs(
-        num_bits=4,
-        type=QuantizationType.INT,
-        strategy=QuantizationStrategy.GROUP,
-        group_size=128,
-        symmetric=True,
-        dynamic=False,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TOKEN,
-        symmetric=True,
-        dynamic=True,
-        observer=None,
-    ),
+    weights=_q(4, "int", "group", group_size=128),
+    input_activations=_q(8, "float", "token", dynamic=True, observer=None),
 )
 
+# static per-tensor fp8 on both sides
 FP8 = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TENSOR,
-        symmetric=True,
-        dynamic=False,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TENSOR,
-        symmetric=True,
-        dynamic=False,
-        observer="static_minmax",
-    ),
+    weights=_q(8, "float", "tensor"),
+    input_activations=_q(8, "float", "tensor", observer="static_minmax"),
 )
 
+# per-channel fp8 weights, dynamic per-token fp8 acts
 FP8_DYNAMIC = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.CHANNEL,
-        symmetric=True,
-        dynamic=False,
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.TOKEN,
-        symmetric=True,
-        dynamic=True,
-    ),
+    weights=_q(8, "float", "channel"),
+    input_activations=_q(8, "float", "token", dynamic=True),
 )
 
+# DeepSeek-style 128x128 block fp8 weights, dynamic 128-group fp8 acts
 FP8_BLOCK = dict(
-    weights=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.BLOCK,
-        symmetric=True,
-        dynamic=False,
-        block_structure=[128, 128],
-    ),
-    input_activations=QuantizationArgs(
-        num_bits=8,
-        type=QuantizationType.FLOAT,
-        strategy=QuantizationStrategy.GROUP,
-        symmetric=True,
-        dynamic=True,
-        group_size=128,
-    ),
+    weights=_q(8, "float", "block", block_structure=[128, 128]),
+    input_activations=_q(8, "float", "group", group_size=128, dynamic=True),
 )
 
 PRESET_SCHEMES: dict[str, dict] = {

@@ -79,15 +79,36 @@ def _gf_tables(q: int):
             res.pop()
         return tuple(res + [0] * (m - len(res)))
 
+    def poly_rem(f, g):
+        # remainder of f mod monic g, coefficients low-to-high over GF(p)
+        f = list(f)
+        dg = len(g) - 1
+        while len(f) > dg:
+            lead = f[-1]
+            if lead:
+                for k in range(dg + 1):
+                    f[len(f) - 1 - k] = (f[len(f) - 1 - k]
+                                         - lead * g[dg - k]) % p
+            f.pop()
+        return f
+
     def irreducible():
-        # search monic irreducibles of degree m over GF(p): no roots is
-        # sufficient for m <= 3 (the only degrees LLM-sized fields need)
+        # search monic irreducibles of degree m over GF(p) by trial
+        # division: f (monic, degree m) is irreducible iff no monic
+        # divisor of degree 1..m//2 divides it — valid for every m,
+        # unlike a root-only test (sufficient only for m <= 3)
         from itertools import product as iproduct
 
+        divisors = [
+            list(c) + [1]
+            for d in range(1, m // 2 + 1)
+            for c in iproduct(range(p), repeat=d)
+        ]
         for coeffs in iproduct(range(p), repeat=m):
             mod = list(coeffs) + [1]  # monic
-            if all(sum(c * pow(x, i, p) for i, c in enumerate(mod)) % p
-                   for x in range(p)):
+            if mod[0] == 0:  # divisible by x
+                continue
+            if all(any(poly_rem(mod, g)) for g in divisors):
                 return mod
         raise ValueError(f"no irreducible found for GF({p}^{m})")
 
@@ -144,6 +165,19 @@ def _paley_II_standard(q: int) -> np.ndarray:
     return H
 
 
+def _verified(H: np.ndarray) -> np.ndarray:
+    """Assert H is genuinely Hadamard (H @ H.T == nI) before returning —
+    guards the constructed (Paley) paths against any silent field-math
+    defect producing a non-orthogonal rotation."""
+    n = H.shape[0]
+    prod = H.astype(np.int64) @ H.astype(np.int64).T
+    if not np.array_equal(prod, n * np.eye(n, dtype=np.int64)):
+        raise AssertionError(
+            f"constructed matrix of order {n} is not Hadamard"
+        )
+    return H
+
+
 @lru_cache(maxsize=None)
 def _base_hadamard(k: int) -> np.ndarray | None:
     """A Hadamard matrix of order k (not necessarily a power of 2), or None."""
@@ -156,13 +190,13 @@ def _base_hadamard(k: int) -> np.ndarray | None:
     # Paley I: k = q + 1, q an odd prime power, q = 3 mod 4
     q = k - 1
     if _prime_power(q) and q % 4 == 3:
-        return _paley_I(q)
+        return _verified(_paley_I(q))
     # Paley II: k = 2(q + 1), q an odd prime power, q = 1 mod 4
     # (prime powers cover 52 = 2(25+1), 100 = 2(49+1), 244 = 2(121+1))
     if k % 2 == 0:
         q = k // 2 - 1
         if _prime_power(q) and q % 4 == 1:
-            return _paley_II_standard(q)
+            return _verified(_paley_II_standard(q))
     # classical computer-search orders (Williamson/Baumert-Hall type):
     # embedded table from Sloane's public library (see hadamard_data.py)
     from compressed_tensors_tpu.transform.hadamard_data import known_hadamard

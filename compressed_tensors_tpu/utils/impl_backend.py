@@ -17,7 +17,9 @@ __all__ = ["ImplBackend", "enforce_eager"]
 
 
 def enforce_eager() -> bool:
-    return os.environ.get("CT_TPU_ENFORCE_EAGER", "") == "1"
+    from compressed_tensors_tpu.flags import FLAGS
+
+    return FLAGS.enforce_eager
 
 
 class ImplBackend:

@@ -55,7 +55,9 @@ def _get_lib():
     if _TRIED:
         return _LIB
     _TRIED = True
-    if os.environ.get("CT_TPU_DISABLE_NATIVE", "") == "1":
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.disable_native:
         return None
     path = _build_lib()
     if path is None:

@@ -132,11 +132,10 @@ def test_impl_backend_dispatch():
     assert test_op(1) == 2 and calls[-1] == "fast"
     assert test_op(-1) == -2 and calls[-1] == "eager"
 
-    os.environ["CT_TPU_ENFORCE_EAGER"] = "1"
-    try:
+    from compressed_tensors_tpu.flags import flag_overrides
+
+    with flag_overrides(enforce_eager=True):
         assert test_op(1) == 2 and calls[-1] == "eager"
-    finally:
-        del os.environ["CT_TPU_ENFORCE_EAGER"]
 
     assert ImplBackend.call("fast_op", 3) == 6
     assert "fast_op" in ImplBackend.registered("test_op_x")

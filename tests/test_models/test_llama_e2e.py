@@ -99,7 +99,9 @@ def test_w4a16_run_compressed_matches_decompressed(rng, tmp_path):
 def test_load_with_fused_kernels_matches(rng, tmp_path, monkeypatch):
     """use_kernels=True at load (interpret mode): the fused-kernel layouts
     built by the loader must produce the same logits as the XLA path."""
-    monkeypatch.setenv("CT_TPU_PALLAS_INTERPRET", "1")
+    from compressed_tensors_tpu.flags import FLAGS, set_flags
+
+    monkeypatch.setattr(FLAGS, "pallas_interpret", True)
     save_dir, _ = make_tiny_llama_checkpoint(tmp_path, rng, W4A16_G32)
     params_k, config, _ = load_llama_params(save_dir, run_compressed=True,
                                             dtype=jnp.float32,

@@ -2,11 +2,12 @@
 latent cache) vs the non-absorbed eager path, latent cache shape, and
 generate consistency."""
 
-import os
 import sys
 from pathlib import Path
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,11 +1,12 @@
 """Fused decode-attention kernel vs the jnp attention path (interpret
 mode): logits parity for bf16 and fp8-quantized KV caches."""
 
-import os
 import sys
 from pathlib import Path
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import ml_dtypes

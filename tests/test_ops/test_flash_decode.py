@@ -1,9 +1,10 @@
 """Length-aware flash decode kernel vs the block decode kernel and a numpy
 reference (interpret mode): attention outputs and in-place cache updates."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax
 import jax.numpy as jnp

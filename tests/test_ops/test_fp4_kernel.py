@@ -1,9 +1,10 @@
 """Fused FP4 (NVFP4/MXFP4) dequant-matmul kernel vs the XLA materialize path
 (interpret mode on CPU)."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,9 +1,10 @@
 """Fused Pallas kernel correctness vs the XLA dequant path (interpret mode on
 CPU; the same kernels compile natively on TPU)."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import numpy as np

@@ -3,11 +3,12 @@ cache (interpret mode), with shuffled page tables to prove the
 indirection. Covers the paged_decode kernel and the gather/scatter paged
 prefill path."""
 
-import os
 import sys
 from pathlib import Path
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import ml_dtypes

@@ -1,8 +1,9 @@
 """Flash prefill-attention kernel vs jnp reference (interpret mode on CPU)."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax
 import jax.numpy as jnp

@@ -2,9 +2,10 @@
 the fused kernels and match the sparse materialize path (BASELINE config 4).
 Interpret mode on CPU."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import numpy as np

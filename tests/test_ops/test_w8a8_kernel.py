@@ -1,8 +1,9 @@
 """Fused W8A8 kernel vs the jnp dynamic-quant path (interpret mode)."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax.numpy as jnp
 import ml_dtypes

@@ -3,9 +3,10 @@ sharded forward on the virtual 8-device CPU mesh must match single-device,
 and the fused kernel path must compose with shard_map (data-parallel and
 tensor-parallel kernel invocations)."""
 
-import os
 
-os.environ["CT_TPU_PALLAS_INTERPRET"] = "1"
+from compressed_tensors_tpu.flags import set_flags
+
+set_flags(pallas_interpret=True)
 
 import jax
 import jax.numpy as jnp
