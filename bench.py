@@ -173,6 +173,159 @@ def measure_gemm_chain_ms(params, config, batch):
     return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
+def bench_8b(batch=64):
+    """Llama-3-8B W4A16 marginal decode + dequant-GEMM roofline (the
+    BASELINE.json headline scale). Weights are synthesized on device in
+    kernel layout (host generation + tunnel transfer would dominate).
+
+    Returns a dict of JSON keys, or {} off-TPU (8B on CPU is pointless).
+    """
+    import jax.random as jrandom
+
+    from compressed_tensors_tpu.config import CompressionFormat
+    from compressed_tensors_tpu.models.llama import (
+        init_kv_cache,
+        llama_forward,
+    )
+    from compressed_tensors_tpu.models.synthetic import LLAMA3_8B
+    from compressed_tensors_tpu.ops.fuse import Static
+    from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+        choose_k_tile,
+        padded_k,
+    )
+    from compressed_tensors_tpu.ops.linear import QuantizedTensor
+    from compressed_tensors_tpu.quantization import preset_name_to_scheme
+
+    config = LLAMA3_8B
+    H, I = config.hidden_size, config.intermediate_size
+    NH, KVH, D = (config.num_attention_heads, config.num_key_value_heads,
+                  config.head_dim)
+    V, L, G = config.vocab_size, config.num_hidden_layers, 128
+    scheme = preset_name_to_scheme("W4A16", ["Linear"])
+    key = jrandom.PRNGKey(0)
+    kc = [0]
+
+    def nk():
+        kc[0] += 1
+        return jrandom.fold_in(key, kc[0])
+
+    def qt_device(n, k):
+        tk = choose_k_tile(k, G)
+        k_pad = padded_k(k, G)
+        return QuantizedTensor(
+            kernel_packed=jrandom.randint(nk(), (k_pad // 8, n), -2**31,
+                                          2**31 - 1, jnp.int32),
+            kernel_scales=jrandom.uniform(nk(), (k_pad // G, n),
+                                          jnp.float32, 1e-3, 3e-3),
+            shape=(n, k), scheme=scheme,
+            format=CompressionFormat.pack_quantized.value,
+            kernel_meta=("w4a16", n, k, k_pad, G, tk))
+
+    log("building 8B params on device...")
+    lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])
+    nt = -(-V // 512)
+    params = {
+        "embed_tokens": jrandom.normal(nk(), (V, H), jnp.bfloat16) * 0.02,
+        "norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": QuantizedTensor(
+            kernel_packed=jrandom.randint(nk(), (nt, H, 512), -127, 128,
+                                          jnp.int8),
+            kernel_scales=jrandom.uniform(nk(), (1, V), jnp.float32,
+                                          1e-4, 3e-4),
+            shape=(V, H), scheme=lm_scheme,
+            format=CompressionFormat.int_quantized.value,
+            kernel_meta=("w8a8", V, H)),
+        "layers": [],
+    }
+    for _ in range(L):
+        params["layers"].append({
+            "qkv_proj": qt_device(NH * D + 2 * KVH * D, H),
+            "qkv_splits": Static((NH * D, NH * D + KVH * D)),
+            "o_proj": qt_device(H, NH * D),
+            "gate_up_proj": qt_device(2 * I, H),
+            "gate_up_split": Static((I,)),
+            "down_proj": qt_device(H, I),
+            "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
+        })
+    jax.block_until_ready(params["layers"][-1]["down_proj"].kernel_packed)
+
+    prompt_len = 16
+    max_len = prompt_len + 64 + 1
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, V, size=(batch, prompt_len)),
+                      jnp.int32)
+
+    @jax.jit
+    def run(params, input_ids, nsteps):
+        cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
+        positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]),
+                                     input_ids.shape)
+        logits, cache = llama_forward(params, config, input_ids, positions,
+                                      cache, fresh_prefill=True,
+                                      last_logit_only=True)
+        token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        def body(carry):
+            i, token, cache, acc = carry
+            logits, cache = llama_forward(params, config, token[:, None],
+                                          cache.lengths[:, None], cache)
+            token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return i + 1, token, cache, acc + jnp.sum(token)
+
+        _, token, cache, acc = jax.lax.while_loop(
+            lambda c: c[0] < nsteps, body,
+            (jnp.int32(0), token, cache, jnp.int32(0)))
+        return acc
+
+    def t(n):
+        int(run(params, ids, jnp.int32(n)))
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(run(params, ids, jnp.int32(n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    step_ms = (t(64) - t(8)) / 56 * 1e3
+    tps = batch / step_ms * 1e3
+
+    gemm_ms = measure_gemm_chain_ms(params, config, batch)
+
+    # Floors. "sol" = strict speed of light: per component
+    # max(full-rate MXU, HBM stream), no utilization discount. The r3
+    # accounting assumed a 50%-row-utilization MXU ceiling at batch 64;
+    # the r4 kernel measures ~130 TFLOP/s effective at 64 rows, beating
+    # that model, so the basis here is the strict one. The r3-documented
+    # practical target floor (8.5 ms, BASELINE.md/VERDICT r3) is reported
+    # alongside for continuity.
+    body = L * (H * (NH * D + 2 * KVH * D) + NH * D * H + 3 * I * H)
+    lm = V * H
+    attn_ms = (L * batch * KVH * 128 * D * 2 * 2) / HBM_BPS * 1e3
+    gemm_sol_ms = max((2 * batch * body / PEAK_BF16) * 1e3,
+                      body * 0.5 / HBM_BPS * 1e3) \
+        + max((2 * batch * lm / PEAK_INT8) * 1e3, lm / HBM_BPS * 1e3)
+    sol_ms = gemm_sol_ms + attn_ms
+    R3_TARGET_FLOOR_MS = 8.5
+
+    log(f"llama3-8B W4A16 bs{batch}: {step_ms:.2f} ms/step -> "
+        f"{tps:.0f} tok/s/chip; GEMM chain {gemm_ms:.2f} ms "
+        f"(sol {gemm_sol_ms:.2f}); step sol {sol_ms:.2f}, "
+        f"r3 target floor {R3_TARGET_FLOOR_MS}")
+    return {
+        "llama3_8b_marginal_tokens_s": round(tps, 1),
+        "llama3_8b_ms_per_step": round(step_ms, 3),
+        "llama3_8b_sol_floor_ms": round(sol_ms, 3),
+        "llama3_8b_pct_of_sol": round(100 * sol_ms / step_ms, 1),
+        "llama3_8b_r3_floor_ms": R3_TARGET_FLOOR_MS,
+        "llama3_8b_pct_of_r3_floor": round(
+            100 * R3_TARGET_FLOOR_MS / step_ms, 1),
+        "llama3_8b_gemm_ms_per_step": round(gemm_ms, 3),
+        "llama3_8b_gemm_sol_ms": round(gemm_sol_ms, 3),
+        "llama3_8b_gemm_pct_of_sol": round(100 * gemm_sol_ms / gemm_ms, 1),
+    }
+
+
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -210,6 +363,13 @@ def main():
     log(f"dense bf16 (reference-equivalent decompressed): "
         f"{tps_dense:.1f} tok/s ({dt_d:.2f}s)")
 
+    extra_8b = {}
+    if backend == "tpu":
+        try:
+            extra_8b = bench_8b(batch=64)
+        except Exception as e:  # pragma: no cover — keep the headline line
+            log(f"8B bench failed: {e!r}")
+
     print(json.dumps({
         "metric": "decode_throughput_tinyllama_1.1b_w4a16_bs64",
         "value": round(tps, 1),
@@ -219,6 +379,7 @@ def main():
         "dequant_gemm_ms_per_step": round(gemm_ms, 3),
         "dequant_gemm_roofline_ms": round(floor_ms, 3),
         "dequant_gemm_pct_of_roofline": round(gemm_pct, 1),
+        **extra_8b,
     }))
 
 

@@ -104,8 +104,10 @@ for i in range(config.num_hidden_layers):
 from compressed_tensors_tpu.ops.kernels.w8a8_matmul import prepare_w8_weight
 
 _lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])
+_nt = -(-V // 512)
 params["lm_head"] = QuantizedTensor(
-    kernel_packed=jax.random.randint(nk(), (H, V), -127, 128, jnp.int8),
+    kernel_packed=jax.random.randint(nk(), (_nt, H, 512), -127, 128,
+                                     jnp.int8),
     kernel_scales=jax.random.uniform(nk(), (1, V), jnp.float32, 1e-4, 3e-4),
     shape=(V, H), scheme=_lm_scheme,
     format=CompressionFormat.int_quantized.value,

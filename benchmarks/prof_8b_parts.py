@@ -93,8 +93,11 @@ layer = {
     "down_proj": qt_device(H, I),
 }
 _lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])
+# pre-tiled (N/tn, K, tn) lm_head layout: contiguous weight-tile DMAs
+_nt = -(-V // 512)
 lm_head = QuantizedTensor(
-    kernel_packed=jax.random.randint(nk(), (H, V), -127, 128, jnp.int8),
+    kernel_packed=jax.random.randint(nk(), (_nt, H, 512), -127, 128,
+                                     jnp.int8),
     kernel_scales=jax.random.uniform(nk(), (1, V), jnp.float32, 1e-4, 3e-4),
     shape=(V, H), scheme=_lm_scheme,
     format=CompressionFormat.int_quantized.value,

@@ -71,6 +71,7 @@ def chain_loop(mode, tn):
         def body(carry):
             i, x = carry
             for _ in range(L):
+                acc = None
                 for (wp, sc), (_, _, wd, n, k, k_pad, tk) in zip(arrs,
                                                                  weights):
                     xi = (jnp.broadcast_to(x[:, :1], (B, k)) * 0.01 + 0.01
@@ -78,7 +79,10 @@ def chain_loop(mode, tn):
                     y = w4a16_matmul(
                         xi, wp, sc, None, n=n, k=k_pad, group_size=G,
                         tk=tk, tn=tn, out_dtype=jnp.bfloat16, mode=mode)
-                x = jnp.clip(y[:, :SHAPES[0][1]], -1, 1)
+                    # every matmul feeds the carry (DCE-proof)
+                    h = y[:, :SHAPES[0][1]]
+                    acc = h if acc is None else acc + h
+                x = jnp.clip(acc, -1, 1)
             return i + 1, x + x0
         _, x = jax.lax.while_loop(lambda c: c[0] < nsteps, body,
                                   (jnp.int32(0), x0))
@@ -92,13 +96,16 @@ def dense_loop(arrs_d, nsteps):
     def body(carry):
         i, x = carry
         for _ in range(L):
+            acc = None
             for wd, (_, _, _, n, k, k_pad, tk) in zip(arrs_d, weights):
                 xi = (jnp.broadcast_to(x[:, :1], (B, k)) * 0.01 + 0.01
                       if k != x.shape[1] else x)
                 y = jax.lax.dot_general(
                     xi, wd, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            x = jnp.clip(y[:, :SHAPES[0][1]], -1, 1)
+                h = y[:, :SHAPES[0][1]]
+                acc = h if acc is None else acc + h
+            x = jnp.clip(acc, -1, 1)
         return i + 1, x + x0
     _, x = jax.lax.while_loop(lambda c: c[0] < nsteps, body,
                               (jnp.int32(0), x0))
@@ -112,8 +119,8 @@ ms = marginal(functools.partial(dense_loop, arrs_d)) * 1e3
 print(f"B={B} dense bf16 reference: {ms:.3f} ms "
       f"({flops/ms*1e3/1e12:.0f} TFLOP/s)", flush=True)
 
-for mode in ("int4", "mat"):
-    for tn in (512, 1024):
+for mode in ("int4",):
+    for tn in (512, 1024, 2048, 4096):
         ms = marginal(functools.partial(chain_loop(mode, tn), arrs)) * 1e3
         print(f"B={B} mode={mode} tn={tn}: {ms:.3f} ms "
               f"({flops/ms*1e3/1e12:.0f} TFLOP/s)", flush=True)

@@ -46,6 +46,11 @@ class _Flags:
     decode_attn: str = "auto"
     # disable the native (C++) IO/codec fast paths
     disable_native: bool = False
+    # FP8 W8A8 weight handling on chips without a native fp8 MXU (v5e):
+    # "auto" transcodes fp8 weights to the int8 MXU path at load (per-
+    # channel rescale folded into weight_scale) when running on TPU;
+    # "always" / "never" force it
+    fp8_transcode: str = "auto"
 
 
 def _from_env() -> _Flags:
@@ -57,6 +62,7 @@ def _from_env() -> _Flags:
         w4_mode=env("CT_TPU_W4_MODE", "int4"),
         decode_attn=env("CT_TPU_DECODE_ATTN", "auto"),
         disable_native=env("CT_TPU_DISABLE_NATIVE", "") == "1",
+        fp8_transcode=env("CT_TPU_FP8_TRANSCODE", "auto"),
     )
 
 

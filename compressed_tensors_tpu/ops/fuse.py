@@ -65,19 +65,26 @@ def fuse_quantized_tensors(
 
     kernel_meta = None
     kernel_packed = kernel_scales = kernel_zp = None
+    reprepare = False
     if all(t.kernel_packed is not None for t in tensors):
-        # kernel layout is K-major: concat along axis 1 (N)
-        kernel_packed = _concat_field(tensors, "kernel_packed", axis=1)
-        kernel_scales = _concat_field(tensors, "kernel_scales", axis=1)
-        kernel_zp = _concat_field(tensors, "kernel_zp", axis=1)
-        if first.kernel_meta[0] == "w8a8":
-            kind, _, k = first.kernel_meta
-            kernel_meta = (kind, n_total, k)
+        if any(t.kernel_packed.ndim == 3 for t in tensors):
+            # pre-tiled (N/tn, K, tn) w8a8 layouts don't concatenate along
+            # a single axis — rebuild the fused kernel layout from the
+            # fused checkpoint representation instead
+            reprepare = True
         else:
-            kind, _, k, k_pad, group_size, tk = first.kernel_meta
-            kernel_meta = (kind, n_total, k, k_pad, group_size, tk)
+            # kernel layout is K-major: concat along axis 1 (N)
+            kernel_packed = _concat_field(tensors, "kernel_packed", axis=1)
+            kernel_scales = _concat_field(tensors, "kernel_scales", axis=1)
+            kernel_zp = _concat_field(tensors, "kernel_zp", axis=1)
+            if first.kernel_meta[0] == "w8a8":
+                kind, _, k = first.kernel_meta
+                kernel_meta = (kind, n_total, k)
+            else:
+                kind, _, k, k_pad, group_size, tk = first.kernel_meta
+                kernel_meta = (kind, n_total, k, k_pad, group_size, tk)
 
-    return dataclasses.replace(
+    fused = dataclasses.replace(
         first,
         weight=_concat_field(tensors, "weight", axis=0),
         weight_packed=_concat_field(tensors, "weight_packed", axis=0),
@@ -90,6 +97,11 @@ def fuse_quantized_tensors(
         kernel_meta=kernel_meta,
         shape=shape,
     )
+    if reprepare:
+        from compressed_tensors_tpu.ops.linear import prepare_for_kernels
+
+        fused = prepare_for_kernels(fused)
+    return fused
 
 
 def fuse_llama_layers(params: dict) -> dict:

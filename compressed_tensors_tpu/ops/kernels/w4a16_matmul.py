@@ -337,7 +337,7 @@ def w4a16_matmul(
     k: int,                    # K_pad
     group_size: int,
     tk: int,
-    tn: int = 512,
+    tn: int | None = None,
     out_dtype=jnp.bfloat16,
     mode: str = "int4",
 ) -> jnp.ndarray:
@@ -352,6 +352,15 @@ def w4a16_matmul(
     if b_pad != b or k_orig != k:
         x = jnp.pad(x, ((0, b_pad - b), (0, k - k_orig)))
 
+    if tn is None:
+        # the widest N tile VMEM affords: bigger tiles amortize the k-tile
+        # grid (measured 9.9 -> 6.9 ms on the bs64 8B chain going
+        # 512 -> 4096); clamp by the M tile so double-buffered
+        # x/weights/out stay inside scoped VMEM, then shrink to the
+        # least-padding divisor of n
+        tn_max = 4096 if tm <= 128 else (2048 if tm <= 256 else 1024)
+        nt = max(1, -(-n // tn_max))
+        tn = int(np.ceil(n / nt / 128) * 128)
     tn = min(tn, int(np.ceil(n / 128) * 128))
     n_pad = int(np.ceil(n / tn) * tn)
     if n_pad != n:

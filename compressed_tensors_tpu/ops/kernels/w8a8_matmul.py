@@ -39,6 +39,22 @@ def prepare_w8_weight(weight: jnp.ndarray) -> jnp.ndarray:
     return weight.T
 
 
+def prepare_w8_weight_tiled(weight: jnp.ndarray, tn: int = 512) -> jnp.ndarray:
+    """Checkpoint layout (N, K) -> pre-tiled kernel layout (N/tn, K, tn).
+
+    For huge-N matmuls (the 128k-vocab lm_head) a (K, TN) block of the flat
+    (K, N) layout is a strided column slice — K separate TN-byte bursts,
+    far below HBM DMA granularity. Pre-tiling makes every program's weight
+    block one contiguous K*tn-byte stream."""
+    n, k = weight.shape
+    n_pad = int(np.ceil(n / tn) * tn)
+    w_t = weight.T  # (K, N)
+    if n_pad != n:
+        w_t = jnp.pad(w_t, ((0, 0), (0, n_pad - n)))
+    return (w_t.reshape(k, n_pad // tn, tn)
+            .transpose(1, 0, 2))  # (nt, K, tn)
+
+
 def _make_kernel(is_int8: bool, q_max: float):
     # symmetric dynamic scale = maxabs / (bit_range / 2):
     # int8 range [-128, 127] -> /127.5; fp8 [-448, 448] -> /448
@@ -67,8 +83,10 @@ def _make_kernel(is_int8: bool, q_max: float):
                 )
             xs_ref[:] = jnp.broadcast_to(x_scale, xs_ref.shape)
 
+        w = w_ref[0] if w_ref.shape[0] == 1 and len(w_ref.shape) == 3 \
+            else w_ref[:]
         acc = jax.lax.dot_general(
-            xq_ref[:], w_ref[:],
+            xq_ref[:], w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
         ).astype(jnp.float32)
@@ -105,32 +123,46 @@ def w8a8_matmul(
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
-    if k > 8192:
-        # large-K models (8B down_proj: K=14336): a (K, TN) weight tile at
-        # TN=512 is ~7MB fp8 and double-buffers past the default 16MB
-        # scoped-vmem limit
-        tn = min(tn, 256)
-    if n > 8192:
-        # huge-N matmuls (lm_head: N=32k): smaller N tiles pipeline the
-        # strided column-slice DMAs better (measured 2.7x at N=32000, B=64)
-        tn = min(tn, 256)
-    tn = min(tn, int(np.ceil(n / 128) * 128))
-    n_pad = int(np.ceil(n / tn) * tn)
-    if n_pad != n:
-        w_t = jnp.pad(w_t, ((0, 0), (0, n_pad - n)))
-        w_scale = jnp.pad(w_scale, ((0, 0), (0, n_pad - n)))
+    tiled = w_t.ndim == 3  # pre-tiled (nt, K, tn): contiguous tile DMAs
+    if tiled:
+        tn = w_t.shape[2]
+        n_pad = w_t.shape[0] * tn
+        if w_scale.shape[-1] != n_pad:
+            w_scale = jnp.pad(w_scale, ((0, 0), (0, n_pad - n)))
+    else:
+        if k > 8192:
+            # large-K models (8B down_proj: K=14336): a (K, TN) weight tile
+            # at TN=512 is ~7MB fp8 and double-buffers past the default
+            # 16MB scoped-vmem limit
+            tn = min(tn, 256)
+        if n > 8192:
+            # huge-N matmuls in the flat layout: smaller N tiles pipeline
+            # the strided column-slice DMAs better (measured 2.7x at
+            # N=32000, B=64); the pre-tiled layout above is the real fix
+            tn = min(tn, 256)
+        tn = min(tn, int(np.ceil(n / 128) * 128))
+        n_pad = int(np.ceil(n / tn) * tn)
+        if n_pad != n:
+            w_t = jnp.pad(w_t, ((0, 0), (0, n_pad - n)))
+            w_scale = jnp.pad(w_scale, ((0, 0), (0, n_pad - n)))
 
     is_int8 = w_t.dtype == jnp.int8
     q_max = 127.0 if is_int8 else 448.0
 
+    w_spec = (
+        pl.BlockSpec((1, k, tn), lambda mi, ni: (ni, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if tiled else
+        pl.BlockSpec((k, tn), lambda mi, ni: (0, ni),
+                     memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
         _make_kernel(is_int8, q_max),
         grid=(b_pad // tm, n_pad // tn),
         in_specs=[
             pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tn), lambda mi, ni: (0, ni),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, tn), lambda mi, ni: (0, ni),
                          memory_space=pltpu.VMEM),
         ],

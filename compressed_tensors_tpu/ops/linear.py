@@ -362,15 +362,35 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
     ):
         from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (
             prepare_w8_weight,
+            prepare_w8_weight_tiled,
         )
 
         n, k = qt.shape
         w_scale = qt.scale.astype(jnp.float32).reshape(1, -1)
         if w_scale.shape[-1] == 1 and n > 1:  # per-tensor -> broadcast row
             w_scale = jnp.broadcast_to(w_scale, (1, n))
+        weight = qt.weight
+        if (str(weight.dtype).startswith("float8")
+                and _transcode_fp8_enabled()):
+            # serve FP8 checkpoints at the int8 MXU rate on chips without a
+            # native fp8 MXU (v5e): re-grid each output channel's exactly-
+            # representable fp8 values onto the int8 lattice and fold the
+            # per-channel rescale into weight_scale. The checkpoint leaves
+            # (qt.weight/qt.scale) stay fp8 — only the kernel layout is
+            # transcoded; KV-cache k_scale/v_scale semantics are untouched.
+            wf = weight.astype(jnp.float32)
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(wf), axis=1, keepdims=True), 1e-12
+            )  # (N, 1)
+            weight = jnp.round(wf * (127.0 / absmax)).astype(jnp.int8)
+            w_scale = w_scale * (absmax.reshape(1, -1) / 127.0)
+        # huge-N weights (the 128k-vocab lm_head) pre-tile to (N/tn, K, tn)
+        # so every kernel weight block is one contiguous DMA
+        packed = (prepare_w8_weight_tiled(weight) if n > 8192
+                  else prepare_w8_weight(weight))
         return dataclasses.replace(
             qt,
-            kernel_packed=prepare_w8_weight(qt.weight),
+            kernel_packed=packed,
             kernel_scales=w_scale,
             kernel_meta=("w8a8", n, k),
         )
@@ -518,6 +538,22 @@ def _kernel_enabled() -> bool:
     if FLAGS.enforce_eager:
         return False
     return jax.default_backend() == "tpu" or FLAGS.pallas_interpret
+
+
+def _transcode_fp8_enabled() -> bool:
+    """Whether fp8 weights should be re-gridded to int8 at load.
+
+    "auto": yes on TPU (current deployment target v5e has no native fp8
+    MXU, so fp8 matmuls run emulated via upconversion at a fraction of the
+    int8 rate); set "never" on fp8-native parts."""
+    from compressed_tensors_tpu.flags import FLAGS
+
+    mode = FLAGS.fp8_transcode
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 # --------------------------------------------------------------------------- #
