@@ -42,13 +42,23 @@ def nk():
 def qt_device(n, k):
     """Kernel-layout quantized weight generated on device."""
     if FP8:
-        w = (jax.random.normal(nk(), (k, n), jnp.float32) * 100).astype(
+        # checkpoint-layout fp8 weight through prepare_for_kernels, so the
+        # load-time fp8->int8 transcode (BASELINE config 3 on v5e) and the
+        # tiled huge-N layout engage exactly as they would for a real load
+        from compressed_tensors_tpu.ops.linear import prepare_for_kernels
+
+        import dataclasses
+
+        w = (jax.random.normal(nk(), (n, k), jnp.float32) * 100).astype(
             jnp.float8_e4m3fn)
-        w_scale = jax.random.uniform(nk(), (1, n), jnp.float32, 1e-4, 3e-4)
-        return QuantizedTensor(
-            kernel_packed=w, kernel_scales=w_scale, shape=(n, k),
-            scheme=scheme, format=CompressionFormat.float_quantized.value,
-            kernel_meta=("w8a8", n, k))
+        w_scale = jax.random.uniform(nk(), (n, 1), jnp.float32, 1e-4, 3e-4)
+        qt = prepare_for_kernels(QuantizedTensor(
+            weight=w, scale=w_scale, shape=(n, k), scheme=scheme,
+            format=CompressionFormat.float_quantized.value))
+        # drop the checkpoint-layout leaves: keeping 8 GB of fp8 source
+        # next to the 8 GB int8 kernel copy would blow HBM at 8B scale
+        jax.block_until_ready(qt.kernel_packed)
+        return dataclasses.replace(qt, weight=None, scale=None)
     tk = choose_k_tile(k, G)
     k_pad = padded_k(k, G)
     scales = jax.random.uniform(nk(), (k_pad // G, n), jnp.float32,

@@ -53,7 +53,8 @@ V = config.vocab_size
 L = config.num_hidden_layers
 G = 128
 
-scheme = preset_name_to_scheme("W4A16", ["Linear"])
+scheme = preset_name_to_scheme(
+    "FP8_DYNAMIC" if layout.startswith("fp8") else "W4A16", ["Linear"])
 key = jax.random.PRNGKey(0)
 _kc = [0]
 
@@ -64,6 +65,21 @@ def nk():
 
 
 def qt_device(n, k):
+    if layout.startswith("fp8"):
+        # fp8 checkpoint weight -> prepare_for_kernels (int8 transcode +
+        # tiled layout), checkpoint leaves dropped (HBM)
+        import dataclasses
+
+        from compressed_tensors_tpu.ops.linear import prepare_for_kernels
+
+        w = (jax.random.normal(nk(), (n, k), jnp.float32) * 100).astype(
+            jnp.float8_e4m3fn)
+        w_scale = jax.random.uniform(nk(), (n, 1), jnp.float32, 1e-4, 3e-4)
+        qt = prepare_for_kernels(QuantizedTensor(
+            weight=w, scale=w_scale, shape=(n, k), scheme=scheme,
+            format=CompressionFormat.float_quantized.value))
+        jax.block_until_ready(qt.kernel_packed)
+        return dataclasses.replace(qt, weight=None, scale=None)
     tk = choose_k_tile(k, G)
     k_pad = padded_k(k, G)
     scales = jax.random.uniform(nk(), (k_pad // G, n), jnp.float32,

@@ -45,11 +45,13 @@ rng = np.random.default_rng(0)
 
 
 def timed(fn, *args):
-    jax.block_until_ready(fn(*args))
+    # force a value fetch (block_until_ready alone does not round-trip the
+    # remote-TPU tunnel)
+    float(jnp.sum(fn(*args)))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(jnp.sum(fn(*args)))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -64,7 +66,7 @@ for S in (512, 1024, 2048):
         logits, cache = llama_forward(params, config, ids, positions, cache,
                                       fresh_prefill=True,
                                       last_logit_only=True)
-        return jnp.argmax(logits[:, -1, :], axis=-1)
+        return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.float32)
 
     dt = timed(prefill, params, ids)
     gemm_floor = 2 * B * S * body_params / PEAK_BF16

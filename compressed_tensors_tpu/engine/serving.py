@@ -86,7 +86,23 @@ class ServingEngine:
         num_pages: Optional[int] = None,
         prefix_caching: bool = True,
         use_kernels: Optional[bool] = None,
+        mesh=None,
     ):
+        """:param mesh: optional `jax.sharding.Mesh`. When given, params get
+        tensor-parallel NamedShardings (megatron split over the "tp" axis,
+        see `parallel.mesh.shard_llama_params`) and the KV cache/pool shards
+        its kv-head axis over "tp" (dense layout: batch over "dp" too).
+        GSPMD inserts the collectives; every host-side slot/page/prefix
+        bookkeeping path below is mesh-oblivious — only array placement
+        changes. This is BASELINE config 5 as a *serving* config, not just a
+        forward-pass dryrun."""
+        if mesh is not None:
+            from compressed_tensors_tpu.parallel.mesh import (
+                shard_llama_params,
+            )
+
+            params = shard_llama_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -126,6 +142,10 @@ class ServingEngine:
                 config, max_batch, max_len, dtype=dtype,
                 cache_dtype=cache_dtype,
             )
+        if mesh is not None:
+            from compressed_tensors_tpu.parallel.mesh import shard_kv_cache
+
+            self.cache = shard_kv_cache(self.cache, mesh)
         self.tokens = jnp.zeros((max_batch,), dtype=jnp.int32)
 
         # host-side slot state

@@ -5,16 +5,20 @@ tensor with an online-softmax streaming kernel: scores never leave VMEM, so
 prefill attention HBM traffic drops from O(S^2) to O(S·D) — the difference
 between bandwidth-bound and compute-bound prefill at long prompt lengths.
 
-TPU mapping:
-- grid (B, H, S/Tq): one program per query tile per head; the kv-head block
-  for GQA is selected by index_map (h // rep) so repeated KV heads are
-  never materialized.
-- K/V for one (batch, kv-head) live in VMEM whole (S_pad·Dp·2B each — ~0.5MB
-  at S=2048, D=128 bf16) and are sliced per k-tile with `pl.ds`; the causal
-  upper bound on the inner `fori_loop` skips future tiles entirely (~2x over
-  masking them).
-- Online softmax carries (acc f32 (Tq, Dp), m, l) ride the loop; the p·V
-  dot runs in the value dtype on the MXU with f32 accumulation.
+TPU mapping (r4 restructure — the r3 kernel ran one program per
+(batch, q-head, q-tile) and was grid/latency-bound at ~1-8% of its score
+floor):
+- grid (B, KVH, S/Tq): one program per *kv-head group* per query tile. All
+  `rep` GQA query heads of the group fold into the program's row dimension,
+  so the score dot is one (rep·Tq, Tk) MXU op instead of `rep` separate
+  (Tq, Tk) programs — 8x fewer programs and 8x bigger dots for a 32q/4kv
+  model, and repeated KV heads are never materialized.
+- K/V for one (batch, kv-head) live in VMEM whole (S_pad·Dp·2B each —
+  ~0.5MB at S=2048, D=128 bf16), fetched once per (b, kvh) by block
+  revisiting; sliced per k-tile with `pl.ds`. The causal upper bound on the
+  inner `fori_loop` skips future tiles entirely.
+- Online softmax carries (acc f32 (rep·Tq, Dp), m, l) ride the loop; the
+  p·V dot runs in the value dtype on the MXU with f32 accumulation.
 
 The reference delegates attention entirely to transformers/vLLM (SURVEY.md
 §2.7-2.8); this is engine-side capability. Post-RoPE q/k semantics match the
@@ -43,18 +47,21 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _make_kernel(s: int, s_pad: int, tq: int, tk: int, d: int,
-                 inv_sqrt_d: float, out_dtype):
-    nkq = tq // tk if tq >= tk else 1
+def _make_kernel(s: int, tq: int, tk: int, rep: int, d: int, out_dtype):
+    rows = rep * tq
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         i = pl.program_id(2)
-        q = q_ref[0, 0].astype(jnp.float32) * inv_sqrt_d  # (Tq, Dp)
-        q_pos = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        # (rep, Tq, Dp) -> (rep*Tq, Dp); q is pre-scaled by 1/sqrt(d)
+        q = q_ref[0, 0].reshape(rows, d).astype(jnp.float32)
+        # row r of the folded tile is query position i*Tq + (r % Tq)
+        q_pos = i * tq + jax.lax.broadcasted_iota(
+            jnp.int32, (rep, tq, tk), 1
+        ).reshape(rows, tk)
 
-        acc0 = jnp.zeros((tq, d), dtype=jnp.float32)
-        m0 = jnp.full((tq, 1), -1e30, dtype=jnp.float32)
-        l0 = jnp.zeros((tq, 1), dtype=jnp.float32)
+        acc0 = jnp.zeros((rows, d), dtype=jnp.float32)
+        m0 = jnp.full((rows, 1), -1e30, dtype=jnp.float32)
+        l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
 
         def body(j, carry):
             acc, m, l = carry
@@ -64,8 +71,10 @@ def _make_kernel(s: int, s_pad: int, tq: int, tk: int, d: int,
             s_ij = jax.lax.dot_general(
                 q, kj, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (Tq, Tk)
-            k_pos = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            )  # (rows, Tk)
+            k_pos = j * tk + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, tk), 1
+            )
             mask = (k_pos <= q_pos) & (k_pos < s)
             s_ij = jnp.where(mask, s_ij, -1e30)
 
@@ -81,11 +90,11 @@ def _make_kernel(s: int, s_pad: int, tq: int, tk: int, d: int,
             acc = acc * alpha + pv
             return acc, m_new, l
 
-        # causal: only k-tiles that intersect [0, (i+1)*Tq) are live
-        n_blocks = (i + 1) * nkq if tq >= tk else (i // (tk // tq)) + 1
+        # causal: only k-tiles intersecting [0, (i+1)*Tq) are live
+        n_blocks = ((i + 1) * tq + tk - 1) // tk
         acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
         out = jnp.where(l > 0, acc / l, 0.0)
-        o_ref[0, 0] = out.astype(out_dtype)
+        o_ref[0, 0] = out.reshape(rep, tq, d).astype(out_dtype)
 
     return kernel
 
@@ -94,25 +103,22 @@ def _make_kernel(s: int, s_pad: int, tq: int, tk: int, d: int,
     jax.jit, static_argnames=("rep", "s", "tq", "tk", "out_dtype")
 )
 def _prefill_call(q, k, v, *, rep, s, tq, tk, out_dtype):
-    B, H, S_pad, Dp = q.shape
-    KVH = k.shape[1]
-    inv_sqrt_d = 1.0  # scale folded by caller
+    B, KVH, _rep, S_pad, Dp = q.shape
 
-    kernel = _make_kernel(s, S_pad, tq, tk, Dp,
-                          inv_sqrt_d, out_dtype)
-    grid = (B, H, S_pad // tq)
+    kernel = _make_kernel(s, tq, tk, rep, Dp, out_dtype)
+    grid = (B, KVH, S_pad // tq)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq, Dp), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, S_pad, Dp),
-                         lambda b, h, i, _rep=rep: (b, h // _rep, 0, 0)),
-            pl.BlockSpec((1, 1, S_pad, Dp),
-                         lambda b, h, i, _rep=rep: (b, h // _rep, 0, 0)),
+            pl.BlockSpec((1, 1, rep, tq, Dp),
+                         lambda b, h, i: (b, h, 0, i, 0)),
+            pl.BlockSpec((1, 1, S_pad, Dp), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S_pad, Dp), lambda b, h, i: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, Dp), lambda b, h, i: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, Dp), out_dtype),
+        out_specs=pl.BlockSpec((1, 1, rep, tq, Dp),
+                               lambda b, h, i: (b, h, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, rep, S_pad, Dp), out_dtype),
         interpret=_interpret(),
     )(q, k, v)
 
@@ -135,17 +141,21 @@ def prefill_attention(
     sm_scale = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
 
     Dp = max(128, int(np.ceil(D / 128) * 128))
-    tq = tk = 128 if S <= 1024 else 256
-    S_pad = int(np.ceil(S / tq) * tq)
+    tq = 128
+    tk = 256 if S > 256 else 128
+    S_pad = int(np.ceil(S / max(tq, tk)) * max(tq, tk))
 
-    def pad_heads(x, n_heads):
+    def pad_kv(x):
         x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0), (0, Dp - D)))
-        return x.transpose(0, 2, 1, 3)  # (B, heads, S_pad, Dp)
+        return x.transpose(0, 2, 1, 3)  # (B, KVH, S_pad, Dp)
 
-    qh = pad_heads(q * jnp.asarray(sm_scale, q.dtype), H)
-    kh = pad_heads(k, KVH)
-    vh = pad_heads(v, KVH)
+    # queries: (B, S, H, D) -> (B, KVH, rep, S_pad, Dp)
+    qs = (q * jnp.asarray(sm_scale, q.dtype)).reshape(B, S, KVH, rep, D)
+    qs = jnp.pad(qs, ((0, 0), (0, S_pad - S), (0, 0), (0, 0), (0, Dp - D)))
+    qh = qs.transpose(0, 2, 3, 1, 4)
 
-    out = _prefill_call(qh, kh, vh, rep=rep, s=S, tq=tq, tk=tk,
-                        out_dtype=q.dtype)
-    return out.transpose(0, 2, 1, 3)[:, :S, :, :D]
+    out = _prefill_call(qh, pad_kv(k), pad_kv(v), rep=rep, s=S, tq=tq,
+                        tk=tk, out_dtype=q.dtype)
+    # (B, KVH, rep, S_pad, Dp) -> (B, S, H, D)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, S_pad, H, Dp)
+    return out[:, :S, :, :D]

@@ -39,14 +39,26 @@ def prepare_w8_weight(weight: jnp.ndarray) -> jnp.ndarray:
     return weight.T
 
 
-def prepare_w8_weight_tiled(weight: jnp.ndarray, tn: int = 512) -> jnp.ndarray:
+def default_w8_tn(n: int, k: int) -> int:
+    """N-tile width for the pre-tiled layout: as wide as a ~3MB VMEM weight
+    block affords (K stays whole per tile for the in-kernel dynamic
+    per-token act quant), shrunk to the least-padding divisor of n."""
+    tn_max = min(2048, max(256, ((3 << 20) // max(k, 1)) // 128 * 128))
+    nt = max(1, -(-n // tn_max))
+    return min(tn_max, int(np.ceil(n / nt / 128) * 128))
+
+
+def prepare_w8_weight_tiled(weight: jnp.ndarray,
+                            tn: int | None = None) -> jnp.ndarray:
     """Checkpoint layout (N, K) -> pre-tiled kernel layout (N/tn, K, tn).
 
-    For huge-N matmuls (the 128k-vocab lm_head) a (K, TN) block of the flat
-    (K, N) layout is a strided column slice — K separate TN-byte bursts,
-    far below HBM DMA granularity. Pre-tiling makes every program's weight
-    block one contiguous K*tn-byte stream."""
+    A (K, TN) block of the flat (K, N) layout is a strided column slice —
+    K separate TN-byte bursts, far below HBM DMA granularity (the 128k-
+    vocab lm_head pays K=4096 256-byte bursts per tile). Pre-tiling makes
+    every program's weight block one contiguous K*tn-byte stream."""
     n, k = weight.shape
+    if tn is None:
+        tn = default_w8_tn(n, k)
     n_pad = int(np.ceil(n / tn) * tn)
     w_t = weight.T  # (K, N)
     if n_pad != n:

@@ -384,9 +384,10 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             )  # (N, 1)
             weight = jnp.round(wf * (127.0 / absmax)).astype(jnp.int8)
             w_scale = w_scale * (absmax.reshape(1, -1) / 127.0)
-        # huge-N weights (the 128k-vocab lm_head) pre-tile to (N/tn, K, tn)
-        # so every kernel weight block is one contiguous DMA
-        packed = (prepare_w8_weight_tiled(weight) if n > 8192
+        # pre-tile to (N/tn, K, tn) so every kernel weight block is one
+        # contiguous DMA (the flat (K, N) layout pays K strided tn-byte
+        # bursts per tile); only tiny weights stay flat
+        packed = (prepare_w8_weight_tiled(weight) if n >= 1024
                   else prepare_w8_weight(weight))
         return dataclasses.replace(
             qt,

@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from compressed_tensors_tpu.ops.linear import QuantizedTensor
 
-__all__ = ["make_mesh", "shard_llama_params", "llama_param_specs"]
+__all__ = ["make_mesh", "shard_llama_params", "llama_param_specs",
+           "shard_kv_cache"]
 
 
 def make_mesh(dp: int = 1, tp: int = 1, pp: int = 1, ep: int = 1,
@@ -60,6 +61,10 @@ _ROLE_SHARD_DIM = {
     "o_proj": 1,
     "down_proj": 1,
     "lm_head": 0,
+    # fused projections (engine layout): output-feature sharded like their
+    # members; GSPMD reshards the q/k/v (gate/up) output slices as needed
+    "qkv_proj": 0,
+    "gate_up_proj": 0,
 }
 
 
@@ -199,3 +204,40 @@ def shard_llama_params(params: dict, mesh: Mesh) -> dict:
 
 def llama_param_specs(role: str):
     return _qt_specs(role)
+
+
+def shard_kv_cache(cache, mesh: Mesh):
+    """NamedShardings for a (dense or paged) KV cache.
+
+    The pool shards on its kv-head axis over "tp" (each tp rank owns the KV
+    rows of its own attention-head shard) and — dense layout only — on the
+    batch axis over "dp". Page tables and per-slot lengths replicate: the
+    engine's host-side slot/page bookkeeping stays mesh-oblivious
+    (SURVEY §7 step 7: multi-host serving with unchanged host logic).
+    Axes that don't divide fall back to replication per dimension.
+    """
+    from compressed_tensors_tpu.models.llama import PagedKVCache
+
+    repl = NamedSharding(mesh, P())
+
+    def put(a, spec):
+        return jax.device_put(
+            a, NamedSharding(mesh, _sanitize_spec(a, spec, mesh))
+        )
+
+    if isinstance(cache, PagedKVCache):
+        spec = P(None, None, "tp", None, None)
+        return dataclasses.replace(
+            cache,
+            k=put(cache.k, spec),
+            v=put(cache.v, spec),
+            tables=jax.device_put(cache.tables, repl),
+            lengths=jax.device_put(cache.lengths, repl),
+        )
+    spec = P(None, "dp", "tp", None, None)
+    return dataclasses.replace(
+        cache,
+        k=put(cache.k, spec),
+        v=put(cache.v, spec),
+        lengths=jax.device_put(cache.lengths, repl),
+    )
