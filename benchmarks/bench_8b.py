@@ -49,8 +49,8 @@ def qt_device(n, k):
 
         import dataclasses
 
-        w = (jax.random.normal(nk(), (n, k), jnp.float32) * 100).astype(
-            jnp.float8_e4m3fn)
+        w = jnp.clip(jax.random.normal(nk(), (n, k), jnp.float32) * 100,
+                     -440, 440).astype(jnp.float8_e4m3fn)
         w_scale = jax.random.uniform(nk(), (n, 1), jnp.float32, 1e-4, 3e-4)
         qt = prepare_for_kernels(QuantizedTensor(
             weight=w, scale=w_scale, shape=(n, k), scheme=scheme,
@@ -133,6 +133,9 @@ MAXLEN = prompt_len + 64 + 1
 
 
 CACHE_DTYPE = jnp.float8_e4m3fn if layout == "fp8kv" else None
+# v5e: fp8 KV re-grids to an int8 cache at load (scale semantics kept)
+from compressed_tensors_tpu.models.llama import transcode_fp8_kv_to_int8
+params, CACHE_DTYPE = transcode_fp8_kv_to_int8(params, CACHE_DTYPE)
 
 
 @jax.jit

@@ -72,8 +72,8 @@ def qt_device(n, k):
 
         from compressed_tensors_tpu.ops.linear import prepare_for_kernels
 
-        w = (jax.random.normal(nk(), (n, k), jnp.float32) * 100).astype(
-            jnp.float8_e4m3fn)
+        w = jnp.clip(jax.random.normal(nk(), (n, k), jnp.float32) * 100,
+                     -440, 440).astype(jnp.float8_e4m3fn)
         w_scale = jax.random.uniform(nk(), (n, 1), jnp.float32, 1e-4, 3e-4)
         qt = prepare_for_kernels(QuantizedTensor(
             weight=w, scale=w_scale, shape=(n, k), scheme=scheme,

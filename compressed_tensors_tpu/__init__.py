@@ -106,6 +106,7 @@ from compressed_tensors_tpu.offload import (  # noqa: F401
     HostCache,
     OffloadCache,
     disable_offloading,
+    disable_onloading,
     dispatch_plan,
     max_binary_search,
 )

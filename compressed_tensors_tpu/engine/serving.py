@@ -96,6 +96,13 @@ class ServingEngine:
         bookkeeping path below is mesh-oblivious — only array placement
         changes. This is BASELINE config 5 as a *serving* config, not just a
         forward-pass dryrun."""
+        from compressed_tensors_tpu.models.llama import (
+            transcode_fp8_kv_to_int8,
+        )
+
+        # fp8 KV caches re-grid to int8 on chips without fp8 conversion
+        # hardware (k/v scale semantics preserved; see the helper)
+        params, cache_dtype = transcode_fp8_kv_to_int8(params, cache_dtype)
         if mesh is not None:
             from compressed_tensors_tpu.parallel.mesh import (
                 shard_llama_params,

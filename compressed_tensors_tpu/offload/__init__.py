@@ -4,6 +4,7 @@ from compressed_tensors_tpu.offload.cache import (  # noqa: F401
     HostCache,
     OffloadCache,
     disable_offloading,
+    disable_onloading,
 )
 from compressed_tensors_tpu.offload.dispatch import (  # noqa: F401
     SearchFailureError,

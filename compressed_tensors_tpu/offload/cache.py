@@ -31,9 +31,11 @@ __all__ = [
     "DeviceCache",
     "DiskCache",
     "disable_offloading",
+    "disable_onloading",
 ]
 
 _DISABLE_OFFLOADING = threading.local()
+_DISABLE_ONLOADING = threading.local()
 
 
 @contextlib.contextmanager
@@ -46,6 +48,20 @@ def disable_offloading():
         yield
     finally:
         _DISABLE_OFFLOADING.value = prev
+
+
+@contextlib.contextmanager
+def disable_onloading():
+    """Raw access: reads return the offloaded representation itself (host
+    array / file path / device array) without onloading — the analogue of
+    ref cache/base.py's disable_onloading, used by save paths that want
+    the stored bytes, not a device copy."""
+    prev = getattr(_DISABLE_ONLOADING, "value", False)
+    _DISABLE_ONLOADING.value = True
+    try:
+        yield
+    finally:
+        _DISABLE_ONLOADING.value = prev
 
 
 class OffloadCache(MutableMapping):
@@ -78,6 +94,8 @@ class OffloadCache(MutableMapping):
         self._onloaded.pop(name, None)
 
     def __getitem__(self, name: str) -> jax.Array:
+        if getattr(_DISABLE_ONLOADING, "value", False):
+            return self._store[name]
         if name in self._onloaded:
             return self._onloaded[name]
         value = self.onload(self._store[name])

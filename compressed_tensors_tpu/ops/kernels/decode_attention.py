@@ -100,6 +100,20 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                     compute_dtype)
             return v.astype(compute_dtype)
 
+        def qrow_scales(scale_ref):
+            # cache scales folded onto the (h, 1) query/output rows: row r
+            # belongs to kv head r // rep. Attention is linear in both K
+            # (scores scale with k_scale -> multiply q) and V (outputs
+            # scale with v_scale -> multiply out rows), so scalar/per-head
+            # cache dequant needs NO per-element work on the (kvh, s, d)
+            # blocks — the dominant cost of the old path (astype-f32 +
+            # full-block scale multiply per row per layer).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) // rep
+            sc = jnp.full((h, 1), scale_ref[0], jnp.float32)
+            for i in range(1, kvh):
+                sc = jnp.where(rows == i, scale_ref[i], sc)
+            return sc
+
         align = 32 if jnp.dtype(cache_dtype).itemsize == 1 else 8
         span = min(align, s_max)
 
@@ -186,11 +200,19 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
         kcol = jax.lax.broadcasted_iota(jnp.int32, (h, ks), 1)
         same_group = (qrow // rep) == (kcol // s_max)
         kpos = jax.lax.rem(kcol, s_max)
+        k_fold = qrow_scales(k_scale) if (
+            k_scale is not None and cache_dtype != compute_dtype) else None
         for g in range(g_rows):
             b = gi * g_rows + g
             length = lens_ref[b]
-            keys = dequant(ck_ref[g], k_scale).reshape(ks, d)    # (kvh*s, Dp)
-            qh = q_ref[g].astype(compute_dtype)  # (h, Dp)
+            if k_fold is not None:
+                # fp8/int8 cache: raw convert only; k_scale rides on q
+                keys = ck_ref[g].astype(compute_dtype).reshape(ks, d)
+                qh = (q_ref[g].astype(jnp.float32) * k_fold).astype(
+                    compute_dtype)
+            else:
+                keys = dequant(ck_ref[g], k_scale).reshape(ks, d)
+                qh = q_ref[g].astype(compute_dtype)  # (h, Dp)
 
             scores = jax.lax.dot_general(
                 qh, keys,
@@ -212,12 +234,20 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
             compute_dtype)
 
         # phase 4: per-row output dots + dirty-tile write-back
+        v_fold = qrow_scales(v_scale) if (
+            v_scale is not None and cache_dtype != compute_dtype) else None
         for g in range(g_rows):
             b = gi * g_rows + g
             length = lens_ref[b]
             active = length >= 0
             wpos = jnp.maximum(length, 0)
-            values = dequant(cv_ref[g], v_scale).reshape(ks, d)  # (kvh*s, Dp)
+            if v_fold is not None:
+                # fp8/int8 cache: raw convert; v_scale rides on the output
+                # rows (every value feeding q-row r comes from kv head
+                # r // rep, so the fold is exact)
+                values = cv_ref[g].astype(compute_dtype).reshape(ks, d)
+            else:
+                values = dequant(cv_ref[g], v_scale).reshape(ks, d)
             probs = probs_ref[g]
             # zero outside the block diagonal: the dot re-separates heads
             out_h = jax.lax.dot_general(
@@ -225,6 +255,8 @@ def _make_kernel(kvh: int, rep: int, d: int, s_max: int, cache_dtype,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (h, Dp)
+            if v_fold is not None:
+                out_h = out_h * v_fold
             out_ref[g] = out_h.astype(out_ref.dtype)
 
         # phase 5: drain the write-back DMAs issued in phase 1 (they

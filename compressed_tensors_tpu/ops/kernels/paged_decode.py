@@ -139,7 +139,17 @@ def _make_kernel(kvh: int, rep: int, dp: int, page: int,
                 dk.start()
                 dv.start()
 
-        qh = q_ref[0].astype(compute_dtype)           # (h, Dp)
+        # scalar cache scales fold into q / onto the output (see
+        # flash_decode): quantized pages only ever pay a raw dtype convert
+        folded = k_scale is not None and cache_dtype != compute_dtype
+        if folded:
+            qh = (q_ref[0].astype(jnp.float32)
+                  * k_scale.astype(jnp.float32)).astype(compute_dtype)
+
+            def dequant(v, scale):  # noqa: F811 — raw convert only
+                return v.astype(compute_dtype)
+        else:
+            qh = q_ref[0].astype(compute_dtype)       # (h, Dp)
         new_k_c = quantize_new(newk_ref[0], k_scale)  # cache repr (kvh, Dp)
         new_v_c = quantize_new(newv_ref[0], v_scale)
         new_k = dequant(new_k_c, k_scale)
@@ -220,7 +230,10 @@ def _make_kernel(kvh: int, rep: int, dp: int, page: int,
 
         m, l, acc = jax.lax.fori_loop(1, jnp.where(active, nc, 0), body,
                                       (m, l, acc))
-        out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+        out = acc / jnp.maximum(l, 1e-30)
+        if folded:
+            out = out * v_scale.astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
 
         # ---- write-back: stage the dirty aligned span from the fetched -- #
         # page holding wpos, DMA it to that page, defer the wait two

@@ -169,6 +169,55 @@ class QuantizationConfig(BaseModel):
             ignore=ignore or [],
         )
 
+    @staticmethod
+    def from_module_states(
+        modules,
+        states,
+        format: str | list | None = None,
+    ) -> "QuantizationConfig | None":
+        """Reconstruct a config from per-module quantization states — the
+        analogue of the reference's ``from_pretrained(model)``
+        (ref quant_config.py:185-289): collect the unique schemes in first-
+        appearance order, detect the kv-cache scheme from attention states
+        carrying k/v scales, and build the consolidated ignore list (every
+        quantizable module that ended up unquantized).
+
+        :param modules: name -> ModuleInfo graph
+        :param states: name -> ModuleQuantState, as produced by
+            apply_quantization_config
+        :return: config, or None if nothing is quantized
+        """
+        quantizable_types = ("Linear", "Embedding")
+
+        schemes: list = []
+        statuses: list[QuantizationStatus] = []
+        kv_cache_scheme = None
+        quantized_names = set()
+        for name, state in states.items():
+            if "k_scale" in state.qparams:
+                kv_cache_scheme = state.scheme.input_activations
+                continue
+            quantized_names.add(name)
+            statuses.append(state.status)
+            if state.scheme not in schemes:
+                schemes.append(state.scheme)
+
+        ignore = [
+            name
+            for name, info in modules.items()
+            if getattr(info, "type_name", None) in quantizable_types
+            and name not in quantized_names
+        ]
+
+        status = max(statuses) if statuses else QuantizationStatus.INITIALIZED
+        return QuantizationConfig.from_schemes(
+            schemes,
+            status=status,
+            kv_cache_scheme=kv_cache_scheme,
+            format=format,
+            ignore=ignore,
+        )
+
     def requires_calibration_data(self) -> bool:
         if self.kv_cache_scheme is not None:
             return True
@@ -187,10 +236,9 @@ class QuantizationConfig(BaseModel):
     def merge(self, config: "QuantizationConfig") -> None:
         """Merge another config into self in place (ref quant_config.py:308)."""
         warnings.warn(
-            "Attempting to merge quantization configs. This is not a "
-            "straightforward task and can lead to quantization configs that "
-            "fail to load. For best results, use complex targets lists instead "
-            "of complex ignore lists"
+            "merging two quantization configs; the combined ignore/target "
+            "resolution may not round-trip through every loader — prefer "
+            "richer target lists over overlapping ignore lists"
         )
 
         pruned_ignore_list = []

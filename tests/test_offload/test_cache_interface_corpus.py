@@ -118,3 +118,31 @@ def test_disk_cache_files_lifecycle(tmp_path, rng):
 def test_missing_key_raises(cache):
     with pytest.raises(KeyError):
         cache["nope"]
+
+
+def test_disable_onloading_returns_raw(tmp_path, rng):
+    """disable_onloading reads give the offloaded representation itself
+    (ref cache/base.py disable_onloading): a numpy buffer for HostCache,
+    the file path for DiskCache."""
+    from compressed_tensors_tpu.offload.cache import (
+        DiskCache,
+        HostCache,
+        disable_onloading,
+    )
+
+    w = rng.standard_normal((4, 4)).astype(np.float32)
+
+    host = HostCache()
+    host["w"] = jnp.asarray(w)
+    with disable_onloading():
+        raw = host["w"]
+    assert isinstance(raw, np.ndarray)
+    np.testing.assert_array_equal(raw, w)
+
+    disk = DiskCache(str(tmp_path / "off"))
+    disk["w"] = jnp.asarray(w)
+    with disable_onloading():
+        raw = disk["w"]
+    assert isinstance(raw, str) and os.path.exists(raw)
+    # normal reads resume onloading after the context
+    np.testing.assert_array_equal(np.asarray(disk["w"]), w)
