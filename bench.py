@@ -326,6 +326,68 @@ def bench_8b(batch=64):
     }
 
 
+def bench_prefill(params, config, batch=4, s=2048):
+    """Long-prompt prefill throughput + TTFT (VERDICT r3 item 4).
+
+    Marginal cost excludes the fixed ~70-100 ms per-dispatch tunnel
+    overhead; TTFT is the raw single dispatch a user would wait for.
+    """
+    from compressed_tensors_tpu.models.llama import (
+        init_kv_cache,
+        llama_forward,
+    )
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (batch, s)),
+                      jnp.int32)
+
+    @jax.jit
+    def prefill_loop(params, ids, n):
+        def body(carry):
+            i, acc = carry
+            cache = init_kv_cache(config, batch, s + 64, dtype=jnp.bfloat16)
+            positions = jnp.broadcast_to(jnp.arange(s), (batch, s))
+            rot = jnp.where(i % 2 == 0, ids, (ids + 1) % config.vocab_size)
+            logits, cache = llama_forward(params, config, rot, positions,
+                                          cache, fresh_prefill=True,
+                                          last_logit_only=True)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1)
+            return i + 1, acc + jnp.sum(tok)
+        _, acc = jax.lax.while_loop(lambda c: c[0] < n, body,
+                                    (jnp.int32(0), jnp.int32(0)))
+        return acc
+
+    def t(n):
+        int(prefill_loop(params, ids, jnp.int32(n)))
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            int(prefill_loop(params, ids, jnp.int32(n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (t(3) - t(1)) / 2
+    t0 = time.perf_counter()
+    int(prefill_loop(params, ids, jnp.int32(1)))
+    ttft = time.perf_counter() - t0
+
+    H, I, L = (config.hidden_size, config.intermediate_size,
+               config.num_hidden_layers)
+    KVH, D = config.num_key_value_heads, config.head_dim
+    body = L * (2 * H * H + 2 * KVH * D * H + 3 * I * H)
+    floor_ms = 2 * batch * s * body / PEAK_BF16 * 1e3
+    tps = batch * s / dt
+    log(f"prefill S={s} B={batch}: {dt*1e3:.1f} ms marginal "
+        f"(TTFT {ttft*1e3:.0f} ms), {tps/1e3:.1f}k tok/s, "
+        f"{100 * floor_ms / (dt*1e3):.0f}% of GEMM floor")
+    return {
+        "prefill_tokens_s_s2048": round(tps, 1),
+        "prefill_ms_s2048_b4": round(dt * 1e3, 2),
+        "ttft_ms_s2048_b4": round(ttft * 1e3, 1),
+        "prefill_pct_of_gemm_floor": round(100 * floor_ms / (dt * 1e3), 1),
+    }
+
+
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -355,6 +417,14 @@ def main():
     gemm_pct = 100.0 * floor_ms / gemm_ms
     log(f"dequant-GEMM chain: {gemm_ms:.3f} ms/step vs {floor_ms:.3f} ms "
         f"floor -> {gemm_pct:.0f}% of roofline")
+
+    # long-prompt prefill + TTFT
+    extra_prefill = {}
+    if backend == "tpu":
+        try:
+            extra_prefill = bench_prefill(params, config)
+        except Exception as e:  # pragma: no cover
+            log(f"prefill bench failed: {e!r}")
     del params
 
     params_d, _ = build("W4A16", use_kernels=False, dense=True)
@@ -379,6 +449,7 @@ def main():
         "dequant_gemm_ms_per_step": round(gemm_ms, 3),
         "dequant_gemm_roofline_ms": round(floor_ms, 3),
         "dequant_gemm_pct_of_roofline": round(gemm_pct, 1),
+        **extra_prefill,
         **extra_8b,
     }))
 

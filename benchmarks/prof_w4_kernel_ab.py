@@ -119,8 +119,8 @@ ms = marginal(functools.partial(dense_loop, arrs_d)) * 1e3
 print(f"B={B} dense bf16 reference: {ms:.3f} ms "
       f"({flops/ms*1e3/1e12:.0f} TFLOP/s)", flush=True)
 
-for mode in ("int4",):
-    for tn in (512, 1024, 2048, 4096):
+for mode in ("int4", "mat"):
+    for tn in (512, 1024):
         ms = marginal(functools.partial(chain_loop(mode, tn), arrs)) * 1e3
         print(f"B={B} mode={mode} tn={tn}: {ms:.3f} ms "
               f"({flops/ms*1e3/1e12:.0f} TFLOP/s)", flush=True)

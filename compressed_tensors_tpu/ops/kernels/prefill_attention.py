@@ -63,7 +63,9 @@ def _make_kernel(s: int, tq: int, tk: int, rep: int, d: int, out_dtype):
         m0 = jnp.full((rows, 1), -1e30, dtype=jnp.float32)
         l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
 
-        def body(j, carry):
+        LOG2E = 1.4426950408889634
+
+        def tile(j, carry, masked: bool):
             acc, m, l = carry
             start = pl.multiple_of(j * tk, tk)
             kj = k_ref[0, 0, pl.ds(start, tk)].astype(jnp.float32)  # (Tk, Dp)
@@ -72,15 +74,20 @@ def _make_kernel(s: int, tq: int, tk: int, rep: int, d: int, out_dtype):
                 q, kj, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (rows, Tk)
-            k_pos = j * tk + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, tk), 1
-            )
-            mask = (k_pos <= q_pos) & (k_pos < s)
-            s_ij = jnp.where(mask, s_ij, -1e30)
+            if masked:
+                k_pos = j * tk + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, tk), 1
+                )
+                mask = (k_pos <= q_pos) & (k_pos < s)
+                s_ij = jnp.where(mask, s_ij, -1e30)
 
+            # exp2 instead of exp: the softmax transcendental dominates the
+            # whole kernel's VPU time (S^2 exps/layer); pow2 lowers cheaper
             m_new = jnp.maximum(m, jnp.max(s_ij, axis=-1, keepdims=True))
-            p = jnp.where(mask, jnp.exp(s_ij - m_new), 0.0)
-            alpha = jnp.exp(m - m_new)
+            p = jnp.exp2((s_ij - m_new) * LOG2E)
+            if masked:
+                p = jnp.where(mask, p, 0.0)
+            alpha = jnp.exp2((m - m_new) * LOG2E)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(vj.dtype), vj,
@@ -90,9 +97,17 @@ def _make_kernel(s: int, tq: int, tk: int, rep: int, d: int, out_dtype):
             acc = acc * alpha + pv
             return acc, m_new, l
 
-        # causal: only k-tiles intersecting [0, (i+1)*Tq) are live
+        # causal split: every k-tile strictly below the q-tile's first row
+        # is fully visible (masked only by the s bound) — skip the causal
+        # mask/where work there; only the tile(s) crossing the diagonal and
+        # the sequence tail pay the masked path
+        full_end = jnp.minimum((i * tq) // tk, s // tk)
         n_blocks = ((i + 1) * tq + tk - 1) // tk
-        acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+        carry = jax.lax.fori_loop(
+            0, full_end, lambda j, c: tile(j, c, masked=False),
+            (acc0, m0, l0))
+        acc, m, l = jax.lax.fori_loop(
+            full_end, n_blocks, lambda j, c: tile(j, c, masked=True), carry)
         out = jnp.where(l > 0, acc / l, 0.0)
         o_ref[0, 0] = out.reshape(rep, tq, d).astype(out_dtype)
 

@@ -362,6 +362,16 @@ def w4a16_matmul(
         nt = max(1, -(-n // tn_max))
         tn = int(np.ceil(n / nt / 128) * 128)
     tn = min(tn, int(np.ceil(n / 128) * 128))
+
+    # hard VMEM guard (double-buffered x + packed weights + scales + out
+    # must fit the 16MB scoped limit regardless of the caller's tn)
+    def _vmem(tn_):
+        srows = tk // group_size if mode == "fp4" else PLANES
+        return 2 * (tm * tk * 2 + (tk // 8) * tn_ * 4
+                    + srows * tn_ * 4 * (2 if zp_t is not None else 1)
+                    + tm * tn_ * 4)
+    while tn > 128 and _vmem(tn) > 12 * 1024 * 1024:
+        tn = (tn // 2 + 127) // 128 * 128
     n_pad = int(np.ceil(n / tn) * tn)
     if n_pad != n:
         wp_t = jnp.pad(wp_t, ((0, 0), (0, n_pad - n)))
