@@ -211,18 +211,26 @@ def get_quantization_parameter_to_path_mapping(path: str) -> dict[str, str]:
 
 
 def get_nested_weight_mappings(
-    path: str, params_to_nest: Iterable[str] | None = None
-) -> dict[str, dict[str, str]]:
+    path: str,
+    params_to_nest: Iterable[str] | None = None,
+    return_unmatched_params: bool = False,
+):
     """module name -> {local param name -> absolute shard path} (ref
     safetensors_load.py:387). When ``params_to_nest`` is given, only those
-    local names are kept."""
+    local names are kept; with ``return_unmatched_params`` the flat
+    {full name -> path} map of everything NOT nested is returned too."""
     keep = set(params_to_nest) if params_to_nest is not None else None
     nested: dict[str, dict[str, str]] = {}
+    unmatched: dict[str, str] = {}
     for name, fname in get_weight_map(path).items():
         module, param = CheckpointReader.split(name)
+        full_path = os.path.join(path, fname)
         if keep is not None and param not in keep:
+            unmatched[name] = full_path
             continue
-        nested.setdefault(module, {})[param] = os.path.join(path, fname)
+        nested.setdefault(module, {})[param] = full_path
+    if return_unmatched_params:
+        return nested, unmatched
     return nested
 
 

@@ -176,3 +176,38 @@ def test_load_pretrained_quantization_parameters(sharded_ckpt):
         np.full((4, 1), 2.0, np.float32),
     )
     assert np.asarray(states["m.b"].qparams["weight_zero_point"]).shape == (4, 1)
+
+
+def test_nested_weight_mappings_params_to_nest(tmp_path, rng):
+    """get_nested_weight_mappings with params_to_nest and
+    return_unmatched_params (ref test_safetensors_load.py:36-71)."""
+    import jax.numpy as jnp
+
+    from compressed_tensors_tpu.utils.safetensors_io import (
+        get_nested_weight_mappings,
+        save_safetensors,
+    )
+
+    tensors = {
+        "layer1.weight": jnp.zeros((2, 2)),
+        "layer1.bias": jnp.zeros((2,)),
+        "layer2.weight": jnp.zeros((2, 2)),
+        "layer2.bias": jnp.zeros((2,)),
+        "layer3.weight": jnp.zeros((2, 2)),
+    }
+    path = str(tmp_path / "model.safetensors")
+    save_safetensors(path, {k: np.asarray(v) for k, v in tensors.items()})
+
+    nested = get_nested_weight_mappings(str(tmp_path), ["weight"])
+    assert set(nested) == {"layer1", "layer2", "layer3"}
+    assert all(set(v) == {"weight"} for v in nested.values())
+
+    nested = get_nested_weight_mappings(str(tmp_path), ["weight", "bias"])
+    assert set(nested["layer1"]) == {"weight", "bias"}
+    assert set(nested["layer3"]) == {"weight"}
+
+    nested, other = get_nested_weight_mappings(
+        str(tmp_path), ["weight"], return_unmatched_params=True)
+    assert all(set(v) == {"weight"} for v in nested.values())
+    assert set(other) == {"layer1.bias", "layer2.bias"}
+    assert all(p.endswith("model.safetensors") for p in other.values())
