@@ -27,3 +27,13 @@ def test_bit_packing_example():
 def test_quantize_and_save_example(preset):
     out = _run(["examples/quantize_and_save.py", preset])
     assert out.strip()
+
+
+def test_bitmask_compression_example():
+    out = _run(["examples/bitmask_compression.py"])
+    assert "round trips exact" in out
+
+
+def test_serving_example():
+    out = _run(["examples/serve_continuous_batching.py"])
+    assert "prefix cache hits" in out
