@@ -256,11 +256,18 @@ def apply_transform_config(
                     continue
                 state = new_states.get(mod_name)
                 weight = state.get("weight") if state else None
-                if weight is None:
+                loc = TransformLocation(args.location)
+                attn_online = loc in (TransformLocation.Q_ATTN,
+                                      TransformLocation.K_CACHE)
+                if weight is None and not (attn_online
+                                           and scheme.head_dim is not None):
+                    # weightless modules (attention containers) can only
+                    # take per-head online q/k transforms sized by head_dim
                     continue
-                w = np.asarray(weight)
+                w = np.asarray(weight) if weight is not None else None
                 size = get_transform_size(
-                    info.type_name, args.location, w.shape, scheme.head_dim
+                    info.type_name, args.location,
+                    w.shape if w is not None else None, scheme.head_dim
                 )
                 tw = factory.get_weight(size)
                 if args.inverse:

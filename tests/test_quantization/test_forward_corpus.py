@@ -1,0 +1,195 @@
+"""Quantized-forward corpus, ported from the reference's
+tests/test_quantization/lifecycle/test_forward.py:44-300
+(the set_forward_quantized family): every combination of input / weight /
+output activation quantization through the module forward, the disabled
+toggle, and the COMPRESSED-status weight-QDQ skip — realized on
+`quantized_module_forward` (this framework's functional analogue of the
+reference's forward monkey-patch)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compressed_tensors_tpu.quantization import (
+    QuantizationArgs,
+    QuantizationScheme,
+    QuantizationStatus,
+)
+from compressed_tensors_tpu.quantization.lifecycle import (
+    ModuleQuantState,
+    initialize_module_for_quantization,
+    quantized_module_forward,
+)
+
+A8 = dict(num_bits=8, type="int", symmetric=True, strategy="tensor")
+
+
+def _scheme(weights=None, inputs=None, outputs=None):
+    return QuantizationScheme(
+        targets=["Linear"],
+        weights=QuantizationArgs(**weights) if weights else None,
+        input_activations=QuantizationArgs(**inputs) if inputs else None,
+        output_activations=QuantizationArgs(**outputs) if outputs else None,
+    )
+
+
+def _calibrate(state, base, value):
+    """Per-tensor min-max calibration (the reference's
+    mock_per_tensor_calibration fixture, tests/conftest.py:21-101)."""
+    from compressed_tensors_tpu.ops import calculate_qparams
+
+    args = getattr(state.scheme, {
+        "weight": "weights", "input": "input_activations",
+        "output": "output_activations"}[base])
+    mn = jnp.min(value).reshape(1)
+    mx = jnp.max(value).reshape(1)
+    scale, zp = calculate_qparams(mn, mx, args)
+    state.qparams[f"{base}_scale"] = scale
+    state.qparams[f"{base}_zero_point"] = zp
+
+
+def _forward(state, x, w, bias=None):
+    return np.asarray(
+        quantized_module_forward(jnp.asarray(x), jnp.asarray(w), state,
+                                 bias=bias), np.float32)
+
+
+@pytest.fixture
+def layer(rng):
+    w = (rng.standard_normal((4, 4)) * 10).astype(np.float32)
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    return w, x
+
+
+def _init(scheme, w, status=QuantizationStatus.INITIALIZED):
+    state = initialize_module_for_quantization(
+        scheme, weight_shape=w.shape, weight_dtype=jnp.float32)
+    state.status = status
+    return state
+
+
+def test_forward_no_quantization(layer):
+    """No scheme -> plain linear (ref :109)."""
+    w, x = layer
+    state = ModuleQuantState(scheme=None,
+                             status=QuantizationStatus.INITIALIZED)
+    out = _forward(state, x, w)
+    np.testing.assert_allclose(out, x @ w.T, rtol=1e-6)
+
+
+def test_forward_disabled(layer):
+    """state.enabled False behaves like a normal linear (ref :122)."""
+    w, x = layer
+    state = _init(_scheme(weights=A8), w)
+    _calibrate(state, "weight", jnp.asarray(w))
+    state.enabled = False
+    out = _forward(state, x, w)
+    np.testing.assert_allclose(out, x @ w.T, rtol=1e-6)
+
+
+@pytest.mark.parametrize("status", [QuantizationStatus.INITIALIZED,
+                                    QuantizationStatus.CALIBRATION,
+                                    QuantizationStatus.FROZEN])
+def test_forward_with_input_activations(layer, status):
+    """Input activation quantization changes the output (ref :148)."""
+    w, x = layer
+    state = _init(_scheme(inputs=A8), w, status)
+    _calibrate(state, "input", jnp.asarray(x))
+    out = _forward(state, x, w)
+    assert out.shape == (2, 4)
+    assert not np.allclose(out, x @ w.T, atol=1e-3)
+
+
+@pytest.mark.parametrize("status", [QuantizationStatus.INITIALIZED,
+                                    QuantizationStatus.CALIBRATION,
+                                    QuantizationStatus.FROZEN])
+def test_forward_with_weight_quantization(layer, status):
+    """Weight QDQ applies below COMPRESSED status (ref :179)."""
+    w, x = layer
+    state = _init(_scheme(weights=A8), w, status)
+    _calibrate(state, "weight", jnp.asarray(w))
+    out = _forward(state, x, w)
+    assert out.shape == (2, 4)
+    assert not np.allclose(out, x @ w.T, atol=1e-3)
+
+
+def test_forward_compressed_status_skips_weight_qdq(layer):
+    """At COMPRESSED status the weight passes through untouched — it is
+    already the quantized representation (ref :212)."""
+    w, x = layer
+    state = _init(_scheme(weights=A8), w, QuantizationStatus.COMPRESSED)
+    _calibrate(state, "weight", jnp.asarray(w))
+    out = _forward(state, x, w)
+    np.testing.assert_allclose(out, x @ w.T, rtol=1e-6)
+
+
+def test_forward_with_output_activations(layer):
+    """Output activation quantization quantizes the result (ref :239)."""
+    w, x = layer
+    state = _init(_scheme(outputs=A8), w, QuantizationStatus.CALIBRATION)
+    ref_out = x @ w.T
+    _calibrate(state, "output", jnp.asarray(ref_out))
+    out = _forward(state, x, w)
+    assert out.shape == (2, 4)
+    assert not np.allclose(out, ref_out, atol=1e-4)
+    # but it must be the fake-quantized version of the true output
+    scale = float(state.qparams["output_scale"][0])
+    np.testing.assert_allclose(out, ref_out, atol=scale + 1e-6)
+
+
+def test_forward_full_quantization(layer):
+    """Input + weight + output quantization compose (ref :266)."""
+    w, x = layer
+    state = _init(
+        _scheme(weights=A8, inputs=A8, outputs=A8), w,
+        QuantizationStatus.CALIBRATION)
+    _calibrate(state, "weight", jnp.asarray(w))
+    _calibrate(state, "input", jnp.asarray(x))
+    _calibrate(state, "output", jnp.asarray(x @ w.T))
+    out = _forward(state, x, w)
+    assert out.shape == (2, 4)
+    assert np.isfinite(out).all()
+
+
+def test_forward_with_bias(layer, rng):
+    w, x = layer
+    bias = rng.standard_normal(4).astype(np.float32)
+    state = ModuleQuantState(scheme=None,
+                             status=QuantizationStatus.INITIALIZED)
+    out = _forward(state, x, w, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(out, x @ w.T + bias, rtol=1e-6)
+
+
+def test_forward_dynamic_input(layer):
+    """Dynamic token-strategy inputs need no calibration (ref dynamic
+    lifecycle, test_dynamic_lifecycle.py)."""
+    w, x = layer
+    state = _init(_scheme(inputs=dict(num_bits=8, type="int",
+                                      symmetric=True, strategy="token",
+                                      dynamic=True)), w)
+    out = _forward(state, x, w)
+    assert out.shape == (2, 4)
+    assert not np.allclose(out, x @ w.T, atol=1e-3)
+
+
+def test_quantization_enabled_disabled_context(layer):
+    """The global disable context restores plain execution
+    (ref tests/test_quantization/lifecycle/test_enabled.py)."""
+    from compressed_tensors_tpu.quantization.lifecycle import (
+        disable_quantization,
+        enable_quantization,
+    )
+
+    w, x = layer
+    state = _init(_scheme(weights=A8), w)
+    _calibrate(state, "weight", jnp.asarray(w))
+    quant_out = _forward(state, x, w)
+    try:
+        disable_quantization()
+        plain_out = _forward(state, x, w)
+    finally:
+        enable_quantization()
+    np.testing.assert_allclose(plain_out, x @ w.T, rtol=1e-6)
+    assert not np.allclose(plain_out, quant_out, atol=1e-4)

@@ -15,6 +15,7 @@ from compressed_tensors_tpu.transform import (
     get_transform_size,
     high_precision_invert,
 )
+from compressed_tensors_tpu.transform.apply import multihead_matmul
 from compressed_tensors_tpu.transform.apply import TransformFactory
 from compressed_tensors_tpu.transform.schemas import TransformScheme
 from compressed_tensors_tpu.utils.match import ModuleInfo
@@ -159,3 +160,76 @@ def test_correctness_linear_with_bias(rng, type_):
     out = rotated @ new_states["down"]["weight"].T
     np.testing.assert_allclose(out, true_output @ down.T, atol=1e-5,
                                rtol=0.0)
+
+
+@pytest.mark.parametrize("type_", TYPES)
+@pytest.mark.parametrize("randomize", (True, False))
+@pytest.mark.parametrize("head_dim", (4, 8))
+def test_correctness_attention_heads_with_bias(rng, type_, randomize,
+                                               head_dim):
+    """R2 head-wise rotation with a v_proj bias (Qwen2-style): the bias is
+    rotated with the weight so o_proj's WEIGHT_INPUT inverse still cancels
+    (ref test_correctness_attention_heads_with_bias:191)."""
+    num_heads = 2
+    hidden = num_heads * head_dim
+    v_proj = rng.standard_normal((hidden, hidden))
+    v_bias = rng.standard_normal((hidden,))
+    o_proj = rng.standard_normal((hidden, hidden))
+    x = rng.standard_normal((5, hidden))
+    true_output = (x @ v_proj.T + v_bias) @ o_proj.T
+
+    modules = {"v_proj": LINEAR, "o_proj": LINEAR}
+    states = {"v_proj": {"weight": v_proj.copy(), "bias": v_bias.copy()},
+              "o_proj": {"weight": o_proj.copy()}}
+    config = TransformConfig(config_groups={"": TransformScheme(
+        type=type_, randomize=randomize, head_dim=head_dim,
+        apply=[{"targets": ["v_proj"], "location": "weight_output"},
+               {"targets": ["o_proj"], "location": "weight_input",
+                "inverse": True}],
+    )})
+    new_states, _ = apply_transform_config(states, modules, config, seed=7)
+    out = (x @ new_states["v_proj"]["weight"].T
+           + new_states["v_proj"]["bias"]) @ new_states["o_proj"][
+        "weight"].T
+    np.testing.assert_allclose(true_output, out, atol=1e-5, rtol=0.0)
+
+
+@pytest.mark.parametrize("type_", ("hadamard", "random-hadamard"))
+@pytest.mark.parametrize("randomize", (True, False))
+@pytest.mark.parametrize("head_dim", (4, 8))
+def test_correctness_query_key_locations(rng, type_, randomize, head_dim):
+    """R3 online rotation at Q_ATTN/K_CACHE: rotating post-RoPE q and k by
+    the same ORTHONORMAL per-head transform leaves q k^T scores invariant
+    (ref test_correctness_query_key_locations:240 — hadamard types only,
+    like the reference: a general random matrix is not orthogonal, so
+    q W W^T k^T != q k^T)."""
+    num_heads = 2
+    seq, hidden = 5, num_heads * head_dim
+    q = rng.standard_normal((seq, hidden))
+    k = rng.standard_normal((seq, hidden))
+    true_scores = (q.reshape(seq, num_heads, head_dim).transpose(1, 0, 2)
+                   @ k.reshape(seq, num_heads, head_dim).transpose(1, 2, 0))
+
+    modules = {"attn": ModuleInfo("LlamaAttention")}
+    states = {"attn": {}}
+    config = TransformConfig(config_groups={"": TransformScheme(
+        type=type_, randomize=randomize, head_dim=head_dim,
+        apply=[{"targets": ["LlamaAttention"], "location": "q_attn"},
+               {"targets": ["LlamaAttention"], "location": "k_cache"}],
+    )})
+    _, online = apply_transform_config(states, modules, config, seed=9)
+    kinds = {t.location for t in online["attn"]}
+    assert kinds == {"q_attn", "k_cache"}
+
+    def rotate(x, t):
+        return (multihead_matmul(
+            x.reshape(seq, num_heads, head_dim), t.weight) * t.scale
+        ).reshape(seq, hidden)
+
+    q_t = rotate(q, next(t for t in online["attn"]
+                         if t.location == "q_attn"))
+    k_t = rotate(k, next(t for t in online["attn"]
+                         if t.location == "k_cache"))
+    scores = (q_t.reshape(seq, num_heads, head_dim).transpose(1, 0, 2)
+              @ k_t.reshape(seq, num_heads, head_dim).transpose(1, 2, 0))
+    np.testing.assert_allclose(true_scores, scores, atol=1e-5, rtol=0.0)
