@@ -90,3 +90,33 @@ def test_transcode_rescales_and_matches_fp8(rng):
     assert err_i8 <= max(2 * err_fp8, 0.05 * scale_y), (err_i8, err_fp8)
     np.testing.assert_allclose(logits_i8, logits_fp8,
                                atol=0.1 * scale_y + 1e-3)
+
+
+def test_serving_engine_transcodes_fp8_cache(rng):
+    """ServingEngine(cache_dtype=fp8) re-grids to an int8 cache when the
+    transcode applies, and its completions match the fp8-cache engine."""
+    from compressed_tensors_tpu.engine import Request, ServingEngine
+
+    params = _params(rng)
+    prompts = [rng.integers(0, CONFIG.vocab_size, 5 + i).tolist()
+               for i in range(2)]
+
+    def run(transcode):
+        with flag_overrides(fp8_transcode=transcode):
+            eng = ServingEngine(params, CONFIG, dtype=jnp.float32,
+                                max_batch=2, max_len=24, prefill_chunk=8,
+                                cache_dtype=jnp.float8_e4m3fn)
+        dtype = eng.cache.k.dtype
+        for i, p in enumerate(prompts):
+            eng.submit(Request(request_id=i, prompt_ids=p,
+                               max_new_tokens=4))
+        return dtype, {c.request_id: tuple(c.output_ids)
+                       for c in eng.run()}
+
+    dtype_i8, out_i8 = run("always")
+    dtype_f8, out_f8 = run("never")
+    assert dtype_i8 == jnp.int8
+    assert str(dtype_f8).startswith("float8")
+    # greedy argmax over near-identical 8-bit caches: same tokens on this
+    # tiny model
+    assert out_i8 == out_f8
