@@ -103,26 +103,202 @@ def repack_w4_for_kernel(
     return jax.lax.bitcast_convert_type(words, jnp.int32).reshape(k // 8, n)
 
 
-def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
+@functools.partial(jax.jit, static_argnames=("k", "tk"))
+def repack_w4_b8(unpacked_u: jnp.ndarray, k: int, tk: int) -> jnp.ndarray:
+    """Offset-unsigned values (N, K) in [0, 15] -> byte layout (K/2, N) int8.
+
+    Within each k-tile of size tk, byte row s holds k-position s in its low
+    nibble and k-position tk/2 + s in its high nibble — so the low-nibble
+    plane is the tile's first tk/2 k-positions (groups 0..gpt/2-1) and the
+    high plane the second half.
+
+    The high nibble is stored with its MSB flipped (h' = u_hi XOR 8), so
+    that the signed int8 value (byte & 0xF0) equals exactly 16*u_hi - 128
+    for every u_hi in [0, 15]. Decode is then TWO int8 AND ops per byte
+    (no shifts — Mosaic has no i8 vector shift — and no converts on the
+    int8-MXU path), at packed-byte lane density: ~an order of magnitude
+    less VPU work per element than the int32 8-plane extraction, for the
+    same HBM bytes. The 1/16 rescale and the -128 offset fold into the
+    per-plane kernel scales and the rank-8 affine correction
+    (see retile_b8_scales).
+    K must already be padded to a multiple of tk."""
+    n = unpacked_u.shape[0]
+    half = tk // 2
+    v = unpacked_u.T.astype(jnp.uint8).reshape(k // tk, 2, half, n)
+    bytes_ = v[:, 0] | ((v[:, 1] ^ 8) << 4)  # (T, half, N) uint8
+    return jax.lax.bitcast_convert_type(bytes_, jnp.int8).reshape(k // 2, n)
+
+
+def retile_b8_scales(
+    scales_t: jnp.ndarray,      # (K/g, N) f32, k-order, K padded
+    zp_t: jnp.ndarray | None,   # (K/g, N) or None
+    k: int,
+    tk: int,
+    group_size: int,
+):
+    """Kernel-side scale/correction operands for the b8 byte layout.
+
+    Per k-tile the 8 group rows split lo (0..3) / hi (4..7). The hi-plane
+    dot returns d_v = x @ (16*u_hi - 128) = 16*(x@u_hi) - 128*sum(x), so
+    with y_j = s_j*(x@u_j) - s_j*(8+zp_j)*sum(x):
+
+      lo planes: scale s_j,     correction coefficient (8+zp_j)*s_j
+      hi planes: scale s_j/16,  correction coefficient zp_j*s_j
+                 (the -128 offset exactly cancels the u = q+8 offset)
+
+    Returns (scales_kernel, corr_kernel), both (K/tk*8, N) f32.
+    """
+    g_total, n = scales_t.shape
+    tiles = k // tk
+    assert g_total == tiles * PLANES, (g_total, tiles)
+    s = scales_t.astype(jnp.float32).reshape(tiles, PLANES, n)
+    zp = (jnp.zeros_like(s) if zp_t is None
+          else zp_t.astype(jnp.float32).reshape(tiles, PLANES, n))
+    half = PLANES // 2
+    s_kernel = jnp.concatenate([s[:, :half], s[:, half:] / 16.0], axis=1)
+    corr = jnp.concatenate(
+        [(8.0 + zp[:, :half]) * s[:, :half], zp[:, half:] * s[:, half:]],
+        axis=1,
+    )
+    return s_kernel.reshape(tiles * PLANES, n), corr.reshape(
+        tiles * PLANES, n)
+
+
+def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4",
+                 num_k: int = 1):
     """mode "int4": offset-unsigned nibbles + rank-1 affine correction.
+    mode "a8": same weight layout, but activations arrive pre-quantized to
+    per-token int8 (scale via the trailing x-scale operand) so every plane
+    dot runs on the 2x-rate int8 MXU — the only unit with headroom at
+    decode row counts (a 64-row bf16 stream tops out near ~140 TFLOP/s on
+    the 128x128 array; int8 doubles the per-pass rate).
     mode "fp4": E2M1 codes decoded in-register (sign/exp/mantissa selects,
     LUT 0,.5,1,1.5,2,3,4,6 — ref nvfp4/helpers.py KE2M1_TO_FLOAT) and a
-    plain per-group scale multiply (no zero points in fp4 formats)."""
+    plain per-group scale multiply (no zero points in fp4 formats).
+
+    All modes accumulate in a per-program f32 VMEM scratch and write the
+    out block once, in its final dtype, on the last k step — the out HBM
+    traffic is 2 bytes/element written once instead of an f32 write plus a
+    downstream convert read."""
 
     def kernel(x_ref, wp_ref, scale_ref, *rest):
-        if has_zp:
-            zp_ref, out_ref = rest
-        else:
-            (out_ref,) = rest
+        rest = list(rest)
+        acc_ref = rest.pop()
+        out_ref = rest.pop()
+        zp_ref = rest.pop() if has_zp else None
+        xs_ref = rest.pop() if mode in ("a8", "a8b") else None
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        uw = jax.lax.bitcast_convert_type(wp_ref[:], jnp.uint32)  # (g, TN)
+        def flush(value):
+            acc_ref[:] += value
+
+            @pl.when(ki == num_k - 1)
+            def _():
+                final = acc_ref[:]
+                if xs_ref is not None:
+                    final = final * xs_ref[:]
+                out_ref[:] = final.astype(out_ref.dtype)
+
         x = x_ref[:]  # (TB, TK)
         compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+        if mode in ("int4b", "a8b"):
+            # byte layout (see repack_w4_b8): decode is TWO int8 AND ops
+            # per byte at packed-byte lane density. The lo planes dot the
+            # raw low nibbles (0..15); the hi planes dot the signed
+            # (byte & 0xF0) values (= 16*u_hi - 128) and the retiled
+            # scales/correction coefficients absorb the 1/16 and the
+            # offset (retile_b8_scales). corr rides the zp operand slot
+            # and is always present for these modes.
+            corr_ref = zp_ref
+            w8 = wp_ref[:]  # (TK/2, TN) int8
+            lo = w8 & jnp.int8(0xF)
+            v = w8 & jnp.int8(-16)
+            gpt = tk // group_size
+            acc = None
+            for j in range(gpt):
+                src = lo if j < gpt // 2 else v
+                r0 = (j % (gpt // 2)) * group_size
+                u_j = src[r0 : r0 + group_size, :]
+                x_j = x[:, j * group_size : (j + 1) * group_size]
+                s_j = scale_ref[j, :].astype(jnp.float32)
+                if mode == "a8b":
+                    partial = jax.lax.dot_general(
+                        x_j, u_j,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    partial = jax.lax.dot_general(
+                        x_j.astype(compute), u_j.astype(compute),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                term = partial * s_j[None, :]
+                acc = term if acc is None else acc + term
+
+            if mode == "a8b":
+                sum_x = jnp.sum(
+                    x.astype(jnp.int32).reshape(
+                        x.shape[0], PLANES, group_size),
+                    axis=2,
+                ).astype(jnp.float32)
+            else:
+                sum_x = jnp.sum(
+                    x.astype(jnp.float32).reshape(
+                        x.shape[0], PLANES, group_size),
+                    axis=2,
+                )
+            corr = jax.lax.dot_general(
+                sum_x, corr_ref[:].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            flush(acc - corr)
+            return
+
+        uw = jax.lax.bitcast_convert_type(wp_ref[:], jnp.uint32)  # (g, TN)
+
+        if mode == "a8":
+            # int8 MXU path: dot the raw int8 activations against the raw
+            # offset-unsigned nibbles (exact int32 accumulation), apply the
+            # group scale to the (TB, TN) partial, and fold the affine
+            # offset in as the same rank-8 correction the bf16 path uses:
+            #   y = s_x * [ sum_j s_j (xq_j @ u_j) - s_j (8+zp_j) sum(xq_j) ]
+            acc = None
+            for j in range(PLANES):
+                u_j = (((uw >> jnp.uint32(4 * j)) & jnp.uint32(0xF))
+                       .astype(jnp.int8))
+                x_j = x[:, j * group_size : (j + 1) * group_size]
+                s_j = scale_ref[j, :].astype(jnp.float32)  # (TN,)
+                partial = jax.lax.dot_general(
+                    x_j, u_j,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (TB, TN) exact
+                term = partial.astype(jnp.float32) * s_j[None, :]
+                acc = term if acc is None else acc + term
+
+            sum_x = jnp.sum(
+                x.astype(jnp.int32).reshape(x.shape[0], PLANES, group_size),
+                axis=2,
+            ).astype(jnp.float32)  # (TB, PLANES)
+            s_all = scale_ref[:].astype(jnp.float32)  # (PLANES, TN)
+            if has_zp:
+                off = (zp_ref[:].astype(jnp.float32) + 8.0) * s_all
+            else:
+                off = 8.0 * s_all
+            corr = jax.lax.dot_general(
+                sum_x, off,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            flush(acc - corr)
+            return
 
         if mode == "fp4":
             # decode every plane, stack to the full (TK, TN) weight tile,
@@ -149,11 +325,11 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
                 s[:, None, :], (gpt, group_size, tn_blk)
             ).reshape(tk, tn_blk)
             w = (v * sb).astype(compute)
-            out_ref[:] += jax.lax.dot_general(
+            flush(jax.lax.dot_general(
                 x.astype(compute), w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ))
             return
 
         if mode == "mat":
@@ -182,7 +358,7 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
             sum_x = jnp.sum(xg, axis=2)  # (TB, PLANES)
             s_all = scale_ref[:].astype(jnp.float32)  # (PLANES, TN)
             if has_zp:
-                off = (rest[0][:].astype(jnp.float32) + 8.0) * s_all
+                off = (zp_ref[:].astype(jnp.float32) + 8.0) * s_all
             else:
                 off = 8.0 * s_all
             corr = jax.lax.dot_general(
@@ -190,7 +366,7 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            out_ref[:] += acc - corr
+            flush(acc - corr)
             return
 
         # int4 mode. Per plane the VPU only extracts+converts the nibbles
@@ -221,7 +397,7 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
         sum_x = jnp.sum(xg, axis=2)  # (TB, PLANES)
         s_all = scale_ref[:].astype(jnp.float32)  # (PLANES, TN)
         if has_zp:
-            off = (rest[0][:].astype(jnp.float32) + 8.0) * s_all
+            off = (zp_ref[:].astype(jnp.float32) + 8.0) * s_all
         else:
             off = 8.0 * s_all
         corr = jax.lax.dot_general(
@@ -229,12 +405,12 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4"):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[:] += acc - corr
+        flush(acc - corr)
 
     return kernel
 
 
-def _make_e8_kernel(tk: int, group_size: int):
+def _make_e8_kernel(tk: int, group_size: int, num_k: int = 1):
     """int8-expanded W4A16: weights stored signed int8 (u-8 pre-applied) in
     k-major (K, N); per group one depth-`group_size` MXU dot, scale applied
     to the (TB, TN) output tile. Decode is a single int8->bf16 convert per
@@ -243,12 +419,12 @@ def _make_e8_kernel(tk: int, group_size: int):
     VPU-bound and HBM has headroom (v5e decode batches)."""
     gpt = tk // group_size
 
-    def kernel(x_ref, w_ref, scale_ref, out_ref):
+    def kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         x = x_ref[:]
         compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -264,7 +440,11 @@ def _make_e8_kernel(tk: int, group_size: int):
             s_j = scale_ref[j, :].astype(jnp.float32)
             term = partial * s_j[None, :]
             acc = term if acc is None else acc + term
-        out_ref[:] += acc
+        acc_ref[:] += acc
+
+        @pl.when(ki == num_k - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
     return kernel
 
@@ -300,7 +480,7 @@ def w4_e8_matmul(
     grid = (b_pad // tm, n_pad // tn, k // tk)
     gpt = tk // group_size
     out = pl.pallas_call(
-        _make_e8_kernel(tk, group_size),
+        _make_e8_kernel(tk, group_size, num_k=k // tk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
@@ -312,15 +492,16 @@ def w4_e8_matmul(
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * k,
-            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 4,
+            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(x, w8_t, scales_t)
-    return out[:b, :n].astype(out_dtype)
+    return out[:b, :n]
 
 
 @functools.partial(
@@ -345,10 +526,28 @@ def w4a16_matmul(
 
     Tiles all three dims: M (tokens — decode batches are one tile, prefill
     token counts loop), N (output features), K innermost for accumulation.
+
+    mode "a8" quantizes the activations per token to int8 on the way in
+    (scale = absmax/127, folded back into the output inside the kernel) and
+    runs the plane dots on the int8 MXU at 2x the bf16 rate. Execution-
+    precision choice, not a checkpoint semantic: W4A16 checkpoints load
+    unchanged; opt in via flags when the measured NLL delta qualifies.
     """
     b, k_orig = x.shape
     tm = max(8, min(512, int(np.ceil(b / 8) * 8)))
     b_pad = int(np.ceil(b / tm) * tm)
+
+    x_scale = None
+    if mode in ("a8", "a8b"):
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
+            1e-8,
+        )
+        x_scale = absmax / 127.0  # (B, 1) f32
+        x = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                     -127, 127).astype(jnp.int8)
+        if b_pad != b:
+            x_scale = jnp.pad(x_scale, ((0, b_pad - b), (0, 0)))
     if b_pad != b or k_orig != k:
         x = jnp.pad(x, ((0, b_pad - b), (0, k - k_orig)))
 
@@ -380,7 +579,7 @@ def w4a16_matmul(
             zp_t = jnp.pad(zp_t, ((0, 0), (0, n_pad - n)))
 
     grid = (b_pad // tm, n_pad // tn, k // tk)
-    wpt = tk // PLANES
+    wpt = tk // 2 if mode in ("int4b", "a8b") else tk // PLANES
 
     # int4/mat retiled scales have 8 rows (one group per plane) per k-tile;
     # fp4 scales stay in k-order with tk/group_size rows per k-tile
@@ -394,6 +593,12 @@ def w4a16_matmul(
                      memory_space=pltpu.VMEM),
     ]
     args = [x, wp_t, scales_t]
+    if x_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, 1), lambda mi, ni, ki: (mi, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(x_scale)
     if zp_t is not None:
         in_specs.append(
             pl.BlockSpec((PLANES, tn), lambda mi, ni, ki: (ki, ni),
@@ -401,7 +606,8 @@ def w4a16_matmul(
         )
         args.append(zp_t)
 
-    kernel = _make_kernel(tk, group_size, zp_t is not None, mode)
+    kernel = _make_kernel(tk, group_size, zp_t is not None, mode,
+                          num_k=k // tk)
 
     out = pl.pallas_call(
         kernel,
@@ -409,14 +615,15 @@ def w4a16_matmul(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * k,
             bytes_accessed=n_pad * k // 2 + b_pad * k * 2
-            + b_pad * n_pad * 4,
+            + b_pad * n_pad * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(*args)
 
-    return out[:b, :n].astype(out_dtype)
+    return out[:b, :n]
