@@ -209,17 +209,26 @@ def bench_8b(batch=64):
         kc[0] += 1
         return jrandom.fold_in(key, kc[0])
 
+    from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+        retile_b8_scales,
+    )
+
     def qt_device(n, k):
         tk = choose_k_tile(k, G)
         k_pad = padded_k(k, G)
+        scales = jrandom.uniform(nk(), (k_pad // G, n), jnp.float32,
+                                 1e-3, 3e-3)
+        s_kernel, corr = retile_b8_scales(scales, None, k_pad, G * 8, G)
+        nt = max(1, -(-n // 4096))
+        tn = int(np.ceil(n / nt / 128) * 128)
         return QuantizedTensor(
-            kernel_packed=jrandom.randint(nk(), (k_pad // 8, n), -2**31,
-                                          2**31 - 1, jnp.int32),
-            kernel_scales=jrandom.uniform(nk(), (k_pad // G, n),
-                                          jnp.float32, 1e-3, 3e-3),
+            kernel_packed=jrandom.randint(
+                nk(), (n // tn, k_pad // 2, tn), -128, 128, jnp.int8),
+            kernel_scales=s_kernel,
+            kernel_zp=corr,
             shape=(n, k), scheme=scheme,
             format=CompressionFormat.pack_quantized.value,
-            kernel_meta=("w4a16", n, k, k_pad, G, tk))
+            kernel_meta=("w4b8", n, k, k_pad, G, tk))
 
     log("building 8B params on device...")
     lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])

@@ -36,12 +36,27 @@ class _Flags:
     # run Pallas kernels in interpret mode (CPU CI) and treat the kernel
     # path as available off-TPU
     pallas_interpret: bool = False
-    # W4A16 kernel weight layout: "auto" | "packed" (int4-in-int32) |
+    # W4A16 kernel weight layout: "auto" (byte-packed) | "b8" (byte-packed
+    # nibble pairs, XOR-offset high plane) | "packed" (int4-in-int32) |
     # "e8" (signed int8 expansion)
     w4_layout: str = "auto"
-    # W4A16 kernel decode mode: "int4" (nibble-plane affine correction) |
-    # "mat" (decode-to-bf16 matmul variant)
+    # W4A16 kernel decode mode for the int32 "packed" layout: "int4"
+    # (nibble-plane affine correction) | "a8" (int8-MXU variant) | "mat"
+    # (decode-to-bf16 matmul variant)
     w4_mode: str = "int4"
+    # W4A16 activation execution precision: "auto" | "bf16" (checkpoint
+    # semantics, bf16 MXU) | "int8" (per-token dynamic int8 acts on the
+    # 2x-rate int8 MXU; measured NLL delta vs bf16 execution is reported
+    # by bench.py — opt in where that delta qualifies). "auto" = bf16.
+    w4_act: str = "auto"
+    # row count at/above which the bf16-act W4A16 path dequantizes the
+    # weight once and runs the dense MXU dot instead of the fused kernel.
+    # 0 = never (default): measured on v5e at M=8192, dense-dequant runs
+    # at 134-140 TF/s vs the fused b8 kernel's 145-151 — the dequant
+    # producer costs more than the dense dot saves at every size tried.
+    # Kept as an opt-in for parts where the dense MXU rate pulls further
+    # ahead of the fused kernel.
+    w4_dense_m: int = 0
     # decode attention kernel selection: "auto" | "flash" | "block"
     decode_attn: str = "auto"
     # disable the native (C++) IO/codec fast paths
@@ -60,6 +75,8 @@ def _from_env() -> _Flags:
         pallas_interpret=env("CT_TPU_PALLAS_INTERPRET", "") == "1",
         w4_layout=env("CT_TPU_W4_LAYOUT", "auto"),
         w4_mode=env("CT_TPU_W4_MODE", "int4"),
+        w4_act=env("CT_TPU_W4_ACT", "auto"),
+        w4_dense_m=int(env("CT_TPU_W4_DENSE_M", "0")),
         decode_attn=env("CT_TPU_DECODE_ATTN", "auto"),
         disable_native=env("CT_TPU_DISABLE_NATIVE", "") == "1",
         fp8_transcode=env("CT_TPU_FP8_TRANSCODE", "auto"),

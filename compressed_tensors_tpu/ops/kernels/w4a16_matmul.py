@@ -129,6 +129,23 @@ def repack_w4_b8(unpacked_u: jnp.ndarray, k: int, tk: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bytes_, jnp.int8).reshape(k // 2, n)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tk", "tn"))
+def repack_w4_b8_tiled(
+    unpacked_u: jnp.ndarray, k: int, tk: int, tn: int
+) -> jnp.ndarray:
+    """b8 byte layout pre-tiled to (N/tn, K/2, tn) so every kernel weight
+    block is ONE contiguous (K/2 * tn)-byte DMA stream; the flat (K/2, N)
+    layout pays K/2 strided tn-byte bursts per block (the same pre-tiling
+    the w8a8 kernel uses, docs/kernels.md r4 notes). N pads to tn with
+    u=8 columns (scale rows pad separately)."""
+    flat = repack_w4_b8(unpacked_u, k, tk)  # (K/2, N)
+    n = flat.shape[1]
+    n_pad = int(np.ceil(n / tn) * tn)
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, 0), (0, n_pad - n)))
+    return flat.reshape(k // 2, n_pad // tn, tn).transpose(1, 0, 2)
+
+
 def retile_b8_scales(
     scales_t: jnp.ndarray,      # (K/g, N) f32, k-order, K padded
     zp_t: jnp.ndarray | None,   # (K/g, N) or None
@@ -215,15 +232,19 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4",
             # offset (retile_b8_scales). corr rides the zp operand slot
             # and is always present for these modes.
             corr_ref = zp_ref
-            w8 = wp_ref[:]  # (TK/2, TN) int8
-            lo = w8 & jnp.int8(0xF)
-            v = w8 & jnp.int8(-16)
+            w8 = wp_ref[:]  # (TK/2, TN) int8, or (1, TK/2, TN) pre-tiled
+            if len(w8.shape) == 3:
+                w8 = w8[0]
             gpt = tk // group_size
             acc = None
             for j in range(gpt):
-                src = lo if j < gpt // 2 else v
+                mask = jnp.int8(0xF) if j < gpt // 2 else jnp.int8(-16)
                 r0 = (j % (gpt // 2)) * group_size
-                u_j = src[r0 : r0 + group_size, :]
+                # slice-then-mask keeps the decoded temporary at one
+                # (group_size, TN) tile per dot instead of two full
+                # (TK/2, TN) planes — halves the kernel's scoped-VMEM
+                # stack and lets TN grow to a full weight row
+                u_j = w8[r0 : r0 + group_size, :] & mask
                 x_j = x[:, j * group_size : (j + 1) * group_size]
                 s_j = scale_ref[j, :].astype(jnp.float32)
                 if mode == "a8b":
@@ -535,6 +556,13 @@ def w4a16_matmul(
     """
     b, k_orig = x.shape
     tm = max(8, min(512, int(np.ceil(b / 8) * 8)))
+    if wp_t.ndim == 3:
+        # pre-tiled layout: tn is fixed by the layout, so the VMEM budget
+        # adjusts through the M tile instead (prefill row counts)
+        _tn_fixed = int(wp_t.shape[2])
+        while tm > 128 and (tm * tk * 2 + tm * _tn_fixed * 6
+                            + tk * _tn_fixed) > 10 * 1024 * 1024:
+            tm //= 2
     b_pad = int(np.ceil(b / tm) * tm)
 
     x_scale = None
@@ -551,29 +579,48 @@ def w4a16_matmul(
     if b_pad != b or k_orig != k:
         x = jnp.pad(x, ((0, b_pad - b), (0, k - k_orig)))
 
-    if tn is None:
+    tiled = wp_t.ndim == 3  # pre-tiled b8 (nt, K/2, tn): contiguous DMAs
+    if tiled:
+        tn = int(wp_t.shape[2])
+    elif tn is None:
         # the widest N tile VMEM affords: bigger tiles amortize the k-tile
         # grid (measured 9.9 -> 6.9 ms on the bs64 8B chain going
-        # 512 -> 4096); clamp by the M tile so double-buffered
-        # x/weights/out stay inside scoped VMEM, then shrink to the
-        # least-padding divisor of n
+        # 512 -> 4096; 4096 also measured best for the b8 layout — wider
+        # tiles past that lose more to pipeline granularity than they
+        # gain); clamp by the M tile so double-buffered x/weights/out stay
+        # inside scoped VMEM, then shrink to the least-padding divisor of n
         tn_max = 4096 if tm <= 128 else (2048 if tm <= 256 else 1024)
         nt = max(1, -(-n // tn_max))
         tn = int(np.ceil(n / nt / 128) * 128)
-    tn = min(tn, int(np.ceil(n / 128) * 128))
+    if not tiled:
+        tn = min(tn, int(np.ceil(n / 128) * 128))
 
-    # hard VMEM guard (double-buffered x + packed weights + scales + out
+    # hard VMEM guard (double-buffered x + packed weights + scales, plus
+    # out block, f32 accumulator scratch, and in-kernel decode temporaries
     # must fit the 16MB scoped limit regardless of the caller's tn)
     def _vmem(tn_):
-        srows = tk // group_size if mode == "fp4" else PLANES
-        return 2 * (tm * tk * 2 + (tk // 8) * tn_ * 4
-                    + srows * tn_ * 4 * (2 if zp_t is not None else 1)
-                    + tm * tn_ * 4)
-    while tn > 128 and _vmem(tn) > 12 * 1024 * 1024:
+        if mode == "fp4":
+            srows = tk // group_size
+            wb = (tk // 8) * tn_ * 4
+            temp = tk * tn_ * 4          # materialized f32 weight tile
+        elif mode in ("int4b", "a8b"):
+            srows = PLANES
+            wb = (tk // 2) * tn_
+            temp = 4 * group_size * tn_  # sliced decode tiles in flight
+        else:
+            srows = PLANES
+            wb = (tk // 8) * tn_ * 4
+            temp = 2 * (tk // 8) * tn_ * 4
+        return (2 * (tm * tk * 2 + wb
+                     + srows * tn_ * 4 * (2 if zp_t is not None else 1))
+                + tm * tn_ * 6 + temp)
+    while not tiled and tn > 128 and _vmem(tn) > 12 * 1024 * 1024:
         tn = (tn // 2 + 127) // 128 * 128
-    n_pad = int(np.ceil(n / tn) * tn)
+    n_pad = (int(wp_t.shape[0]) * tn if tiled
+             else int(np.ceil(n / tn) * tn))
     if n_pad != n:
-        wp_t = jnp.pad(wp_t, ((0, 0), (0, n_pad - n)))
+        if not tiled:
+            wp_t = jnp.pad(wp_t, ((0, 0), (0, n_pad - n)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, n_pad - n)))
         if zp_t is not None:
             zp_t = jnp.pad(zp_t, ((0, 0), (0, n_pad - n)))
@@ -587,8 +634,10 @@ def w4a16_matmul(
     in_specs = [
         pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((wpt, tn), lambda mi, ni, ki: (ki, ni),
-                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, wpt, tn), lambda mi, ni, ki: (ni, ki, 0),
+                      memory_space=pltpu.VMEM) if tiled else
+         pl.BlockSpec((wpt, tn), lambda mi, ni, ki: (ki, ni),
+                      memory_space=pltpu.VMEM)),
         pl.BlockSpec((scale_rows, tn), lambda mi, ni, ki: (ki, ni),
                      memory_space=pltpu.VMEM),
     ]

@@ -481,10 +481,50 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
 
     layout = FLAGS.w4_layout
     if layout == "auto":
-        # packed int4 halves weight HBM traffic + footprint vs e8; at
-        # 8B scale it wins outright (HBM-bound), at 1B scale it ties
-        # (MXU-bound either way)
-        layout = "packed"
+        # byte-packed b8 keeps the packed HBM traffic and cuts nibble
+        # decode to two int8 AND ops per byte (measured: the 8B decode
+        # GEMM chain went 6.52 -> 6.20 ms over the int32 plane layout,
+        # and b8 is the layout the int8-MXU act path rides)
+        layout = "b8"
+    if layout == "b8":
+        from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+            repack_w4_b8_tiled,
+            retile_b8_scales,
+        )
+
+        u = unpacked.astype(jnp.int32) + 8
+        if k_pad != k:
+            # padded k-positions: u=8 (q=0) and scale=0 -> contribute 0
+            u = jnp.pad(u, ((0, 0), (0, k_pad - k)), constant_values=8)
+        # pre-tile with the least-padding tn <= 4096 (measured best at
+        # decode; each weight block is one contiguous DMA stream)
+        nt = max(1, -(-n // 4096))
+        tn = int(np.ceil(n / nt / 128) * 128)
+        kernel_packed = repack_w4_b8_tiled(u, k_pad, tk, tn)
+
+        scales = qt.scale.astype(jnp.float32).T  # (K/g, N)
+        g_pad = k_pad // group_size - scales.shape[0]
+        if g_pad:
+            scales = jnp.pad(scales, ((0, g_pad), (0, 0)))
+
+        zp_f = None
+        if qt.zero_point is not None:
+            zp = qt.zero_point
+            if zp.dtype == jnp.int32:  # checkpoint packed_dim=0 packing
+                zp_shape = (n, qt.scale.shape[-1])
+                zp = unpack_from_int32(zp, 4, zp_shape, packed_dim=0)
+            zp_f = zp.astype(jnp.float32).T
+            if g_pad:
+                zp_f = jnp.pad(zp_f, ((0, g_pad), (0, 0)))
+        kernel_scales, kernel_corr = retile_b8_scales(
+            scales, zp_f, k_pad, tk, group_size)
+        return dataclasses.replace(
+            qt,
+            kernel_packed=kernel_packed,
+            kernel_scales=kernel_scales,
+            kernel_zp=kernel_corr,  # corr coefficients ride the zp slot
+            kernel_meta=("w4b8", n, k, k_pad, group_size, tk),
+        )
     if layout == "e8" and qt.zero_point is None:
         w8 = unpacked.astype(jnp.int8).T  # (K, N) signed q
         if k_pad != k:
@@ -736,7 +776,36 @@ def quantized_matmul(
     )
 
     if qt.kernel_packed is not None and use_kernels:
+        from compressed_tensors_tpu.flags import FLAGS
+
         lead = x.shape[:-1]
+        m_rows = 1
+        for d in lead:
+            m_rows *= int(d)
+        if (
+            qt.kernel_meta[0] in ("w4a16", "w4b8", "w4e8")
+            and FLAGS.w4_act != "int8"
+            and FLAGS.w4_dense_m > 0
+            and m_rows >= FLAGS.w4_dense_m
+            and qt.weight_packed is not None
+        ):
+            # prefill-scale M: dequantize the weight ONCE to bf16 (XLA
+            # fuses unpack+dequant into the operand producer) and run the
+            # dense MXU dot at its full bf16 rate — the fused kernel's
+            # in-loop nibble decode caps it at ~150 TF/s vs ~183 dense
+            # (the reference's decompress-then-forward semantics,
+            # ref model_compressor.py:246-260, applied per call shape).
+            # The int8-act mode skips this: its fused rate already
+            # matches the dense path without the dequant HBM round trip.
+            w = materialize_weight(qt, dtype=x.dtype)
+            out = jax.lax.dot_general(
+                x, w,
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            if qt.bias is not None:
+                out = out + qt.bias.astype(out.dtype)
+            return out
         if qt.kernel_meta[0] == "w8a8":
             from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (
                 w8a8_matmul,
@@ -765,12 +834,18 @@ def quantized_matmul(
             )
 
             kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+            if kind == "fp4":
+                mode = "fp4"
+            elif kind == "w4b8":
+                mode = "a8b" if FLAGS.w4_act == "int8" else "int4b"
+            else:
+                mode = FLAGS.w4_mode
             out = w4a16_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 qt.kernel_zp,
                 n=n, k=k_pad, group_size=group_size, tk=tk,
                 out_dtype=x.dtype,
-                mode="fp4" if kind == "fp4" else FLAGS.w4_mode,
+                mode=mode,
             ).reshape(*lead, n)
     elif use_int8_path:
         out = _int8_dynamic_matmul(x, qt, input_args)

@@ -53,7 +53,7 @@ def _sparse_quant_qt(rng, preset, n=64, k=256):
 def test_sparse24_stacked_kernel_matches_materialize(rng, preset):
     qt, w = _sparse_quant_qt(rng, preset)
     assert qt.kernel_packed is not None, "sparse fast path should prepare"
-    assert qt.kernel_meta[0] in (("w8a8",) if preset == "W8A8" else ("w4e8", "w4a16"))
+    assert qt.kernel_meta[0] in (("w8a8",) if preset == "W8A8" else ("w4e8", "w4a16", "w4b8"))
 
     x = jnp.asarray((rng.normal(size=(4, 256)) * 0.5).astype(np.float32))
     y_kernel = np.asarray(quantized_matmul(x, qt))
