@@ -6,9 +6,11 @@
 
 PYCHECKDIRS := compressed_tensors_tpu tests tools benchmarks examples
 
-# full suite (CPU, virtual 8-device mesh comes from tests/conftest.py)
+# full suite (CPU, virtual 8-device mesh comes from tests/conftest.py);
+# xdist-parallel — the suite is parallel-safe (worker-scoped tmpdirs, the
+# multiprocess harness picks free ports per test)
 test:
-	python -m pytest -ra -q tests
+	python -m pytest -ra -q tests -n auto
 
 # quick signal: skip the slow end-to-end model/engine suites
 test-fast:

@@ -173,27 +173,49 @@ def measure_gemm_chain_ms(params, config, batch):
     return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
-def bench_8b(batch=64):
-    """Llama-3-8B W4A16 marginal decode + dequant-GEMM roofline (the
-    BASELINE.json headline scale). Weights are synthesized on device in
-    kernel layout (host generation + tunnel transfer would dominate).
+def _keygen():
+    import jax.random as jrandom
 
-    Returns a dict of JSON keys, or {} off-TPU (8B on CPU is pointless).
+    key = jrandom.PRNGKey(0)
+    kc = [0]
+
+    def nk():
+        kc[0] += 1
+        return jrandom.fold_in(key, kc[0])
+
+    return nk
+
+
+def build_8b_params(kind="w4b8"):
+    """Synthesize Llama-3-8B params on device in the layout a real load
+    would produce. kind:
+
+    - "w4b8":     W4A16 g128 pre-tiled b8 kernel layout (config 3b)
+    - "fp8kv":    FP8 W8A8 weights routed through prepare_for_kernels (the
+                  load-time fp8->int8 transcode) + fp8 KV scales (config 3)
+    - "sparse24": 2:4 sparse-24-bitmask over INT4 values routed through
+                  prepare_for_kernels (stacked-codec decode at load,
+                  config 4)
+
+    Returns (params, config, cache_dtype).
     """
+    import dataclasses
+
     import jax.random as jrandom
 
     from compressed_tensors_tpu.config import CompressionFormat
-    from compressed_tensors_tpu.models.llama import (
-        init_kv_cache,
-        llama_forward,
-    )
+    from compressed_tensors_tpu.models.llama import transcode_fp8_kv_to_int8
     from compressed_tensors_tpu.models.synthetic import LLAMA3_8B
     from compressed_tensors_tpu.ops.fuse import Static
     from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
         choose_k_tile,
         padded_k,
+        retile_b8_scales,
     )
-    from compressed_tensors_tpu.ops.linear import QuantizedTensor
+    from compressed_tensors_tpu.ops.linear import (
+        QuantizedTensor,
+        prepare_for_kernels,
+    )
     from compressed_tensors_tpu.quantization import preset_name_to_scheme
 
     config = LLAMA3_8B
@@ -202,18 +224,10 @@ def bench_8b(batch=64):
                   config.head_dim)
     V, L, G = config.vocab_size, config.num_hidden_layers, 128
     scheme = preset_name_to_scheme("W4A16", ["Linear"])
-    key = jrandom.PRNGKey(0)
-    kc = [0]
+    fp8_scheme = preset_name_to_scheme("FP8_DYNAMIC", ["Linear"])
+    nk = _keygen()
 
-    def nk():
-        kc[0] += 1
-        return jrandom.fold_in(key, kc[0])
-
-    from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
-        retile_b8_scales,
-    )
-
-    def qt_device(n, k):
+    def qt_w4b8(n, k):
         tk = choose_k_tile(k, G)
         k_pad = padded_k(k, G)
         scales = jrandom.uniform(nk(), (k_pad // G, n), jnp.float32,
@@ -221,16 +235,52 @@ def bench_8b(batch=64):
         s_kernel, corr = retile_b8_scales(scales, None, k_pad, G * 8, G)
         nt = max(1, -(-n // 4096))
         tn = int(np.ceil(n / nt / 128) * 128)
+        shape = ((n // tn, k_pad // 2, tn) if nt > 1 or k_pad < 8192
+                 else (k_pad // 2, n))
         return QuantizedTensor(
-            kernel_packed=jrandom.randint(
-                nk(), (n // tn, k_pad // 2, tn), -128, 128, jnp.int8),
+            kernel_packed=jrandom.randint(nk(), shape, -128, 128, jnp.int8),
             kernel_scales=s_kernel,
             kernel_zp=corr,
             shape=(n, k), scheme=scheme,
             format=CompressionFormat.pack_quantized.value,
             kernel_meta=("w4b8", n, k, k_pad, G, tk))
 
-    log("building 8B params on device...")
+    def qt_fp8(n, k):
+        # checkpoint-layout fp8 through prepare_for_kernels so the
+        # load-time fp8->int8 transcode engages exactly as for a real load
+        w = jnp.clip(jrandom.normal(nk(), (n, k), jnp.float32) * 100,
+                     -440, 440).astype(jnp.float8_e4m3fn)
+        w_scale = jrandom.uniform(nk(), (n, 1), jnp.float32, 1e-4, 3e-4)
+        qt = prepare_for_kernels(QuantizedTensor(
+            weight=w, scale=w_scale, shape=(n, k), scheme=fp8_scheme,
+            format=CompressionFormat.float_quantized.value))
+        jax.block_until_ready(qt.kernel_packed)
+        # drop checkpoint leaves: fp8 source + int8 kernel copy both
+        # resident would blow HBM at 8B scale
+        return dataclasses.replace(qt, weight=None, scale=None)
+
+    def qt_sparse24(n, k):
+        # valid 2:4-dense int4 values -> bitmask codec -> stacked decode
+        # at load (prepare_for_kernels) into the packed b8 kernel layout
+        from compressed_tensors_tpu.ops.bitmask import sparse24_compress
+
+        q = jrandom.randint(nk(), (n, k), -8, 8, jnp.int8)
+        keep = ((jnp.arange(k)[None, :] + 2 * (jnp.arange(n) % 2)[:, None])
+                % 4) < 2
+        values, bitmask = sparse24_compress(jnp.where(keep, q, 0))
+        scale = jrandom.uniform(nk(), (n, k // G), jnp.float32, 1e-3, 3e-3)
+        qt = prepare_for_kernels(QuantizedTensor(
+            sparse_values=values, sparse_bitmask=bitmask, scale=scale,
+            shape=(n, k), scheme=scheme,
+            format=CompressionFormat.sparse_24_bitmask.value))
+        jax.block_until_ready(qt.kernel_packed)
+        return dataclasses.replace(qt, weight_packed=None,
+                                   sparse_values=None, sparse_bitmask=None)
+
+    qt_device = {"w4b8": qt_w4b8, "fp8kv": qt_fp8,
+                 "sparse24": qt_sparse24}[kind]
+
+    log(f"building 8B params on device (kind={kind})...")
     lm_scheme = preset_name_to_scheme("W8A8", ["Linear"])
     nt = -(-V // 512)
     params = {
@@ -247,7 +297,12 @@ def bench_8b(batch=64):
         "layers": [],
     }
     for _ in range(L):
+        kv_extra = {}
+        if kind == "fp8kv":
+            kv_extra = {"k_scale": jnp.asarray([0.03], jnp.float32),
+                        "v_scale": jnp.asarray([0.03], jnp.float32)}
         params["layers"].append({
+            **kv_extra,
             "qkv_proj": qt_device(NH * D + 2 * KVH * D, H),
             "qkv_splits": Static((NH * D, NH * D + KVH * D)),
             "o_proj": qt_device(H, NH * D),
@@ -259,15 +314,31 @@ def bench_8b(batch=64):
         })
     jax.block_until_ready(params["layers"][-1]["down_proj"].kernel_packed)
 
+    cache_dtype = jnp.float8_e4m3fn if kind == "fp8kv" else None
+    # v5e: fp8 KV re-grids to an int8 cache at load (scale semantics kept)
+    params, cache_dtype = transcode_fp8_kv_to_int8(params, cache_dtype)
+    return params, config, cache_dtype
+
+
+def measure_8b_decode(params, config, cache_dtype, batch=64):
+    """Marginal decode ms/step for a built 8B param tree (fresh trace per
+    call — kernel-path flags are read at trace time)."""
+    from compressed_tensors_tpu.models.llama import (
+        init_kv_cache,
+        llama_forward,
+    )
+
     prompt_len = 16
     max_len = prompt_len + 64 + 1
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, V, size=(batch, prompt_len)),
-                      jnp.int32)
+    ids = jnp.asarray(
+        rng.integers(0, config.vocab_size, size=(batch, prompt_len)),
+        jnp.int32)
 
     @jax.jit
     def run(params, input_ids, nsteps):
-        cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
+        cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16,
+                              cache_dtype=cache_dtype)
         positions = jnp.broadcast_to(jnp.arange(input_ids.shape[1]),
                                      input_ids.shape)
         logits, cache = llama_forward(params, config, input_ids, positions,
@@ -296,8 +367,34 @@ def bench_8b(batch=64):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    step_ms = (t(64) - t(8)) / 56 * 1e3
+    return (t(64) - t(8)) / 56 * 1e3
+
+
+def bench_8b(batch=64):
+    """Llama-3-8B W4A16 marginal decode + dequant-GEMM roofline (the
+    BASELINE.json headline scale). Weights are synthesized on device in
+    kernel layout (host generation + tunnel transfer would dominate).
+
+    Returns a dict of JSON keys, or {} off-TPU (8B on CPU is pointless).
+    """
+    config = None
+    params, config, cache_dtype = build_8b_params("w4b8")
+    H, I = config.hidden_size, config.intermediate_size
+    NH, KVH, D = (config.num_attention_heads, config.num_key_value_heads,
+                  config.head_dim)
+    V, L = config.vocab_size, config.num_hidden_layers
+
+    step_ms = measure_8b_decode(params, config, cache_dtype, batch)
     tps = batch / step_ms * 1e3
+
+    # int8-act execution mode (opt-in; NLL delta reported separately)
+    from compressed_tensors_tpu.flags import flag_overrides
+
+    with flag_overrides(w4_act="int8"):
+        step_ms_a8 = measure_8b_decode(params, config, cache_dtype, batch)
+    tps_a8 = batch / step_ms_a8 * 1e3
+    log(f"llama3-8B W4A16 int8-act mode: {step_ms_a8:.2f} ms/step -> "
+        f"{tps_a8:.0f} tok/s/chip")
 
     gemm_ms = measure_gemm_chain_ms(params, config, batch)
 
@@ -332,6 +429,60 @@ def bench_8b(batch=64):
         "llama3_8b_gemm_ms_per_step": round(gemm_ms, 3),
         "llama3_8b_gemm_sol_ms": round(gemm_sol_ms, 3),
         "llama3_8b_gemm_pct_of_sol": round(100 * gemm_sol_ms / gemm_ms, 1),
+        "llama3_8b_a8_ms_per_step": round(step_ms_a8, 3),
+        "llama3_8b_a8_marginal_tokens_s": round(tps_a8, 1),
+        "llama3_8b_a8_pct_of_sol": round(100 * sol_ms / step_ms_a8, 1),
+    }
+
+
+def bench_8b_config(kind, json_prefix, batch=64):
+    """One BASELINE 8B config (fp8kv = config 3, sparse24 = config 4) as a
+    measured marginal-decode row."""
+    params, config, cache_dtype = build_8b_params(kind)
+    step_ms = measure_8b_decode(params, config, cache_dtype, batch)
+    tps = batch / step_ms * 1e3
+    log(f"llama3-8B {kind} bs{batch}: {step_ms:.2f} ms/step -> "
+        f"{tps:.0f} tok/s/chip")
+    return {
+        f"{json_prefix}_ms_per_step": round(step_ms, 3),
+        f"{json_prefix}_marginal_tokens_s": round(tps, 1),
+    }
+
+
+def bench_tinyllama_w8a8(batch=64, steps=128, rounds=8):
+    """BASELINE config 2: TinyLlama W8A8-int (channel weights + dynamic
+    token acts), fused act-quant int8 MXU kernels."""
+    params, config = build("W8A8", use_kernels=True)
+    tps, dt = bench_decode(params, config, batch=batch, steps=steps,
+                           rounds=rounds)
+    tps8, dt8 = bench_decode(params, config, batch=batch, steps=8,
+                             rounds=rounds)
+    step_ms = (dt - dt8) / ((steps - 8) * rounds) * 1e3
+    marginal = batch / step_ms * 1e3
+    log(f"TinyLlama W8A8: {tps:.1f} tok/s bench, {marginal:.0f} marginal "
+        f"({step_ms:.3f} ms/step)")
+    return {
+        "tinyllama_w8a8_tokens_s": round(tps, 1),
+        "tinyllama_w8a8_marginal_tokens_s": round(marginal, 1),
+    }
+
+
+def bench_nll_parity(tokens=24_576):
+    """BASELINE accuracy metric: measured NLL delta, run-compressed vs
+    reference-equivalent decompressed execution, plus the int8-act mode's
+    delta (its qualification gate)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).parent / "benchmarks"))
+    from nll_parity import measure
+
+    r = measure(preset="W4A16", tokens=tokens, log=log)
+    return {
+        "nll_delta_w4a16_runcompressed": round(r["nll_delta_int4b"], 6),
+        "nll_delta_w4a16_int8act": round(r["nll_delta_a8b"], 6),
+        "kl_w4a16_runcompressed": float(f"{r['kl_int4b']:.3e}"),
+        "kl_w4a16_int8act": float(f"{r['kl_a8b']:.3e}"),
     }
 
 
@@ -442,12 +593,26 @@ def main():
     log(f"dense bf16 (reference-equivalent decompressed): "
         f"{tps_dense:.1f} tok/s ({dt_d:.2f}s)")
 
-    extra_8b = {}
+    extra = {}
     if backend == "tpu":
-        try:
-            extra_8b = bench_8b(batch=64)
-        except Exception as e:  # pragma: no cover — keep the headline line
-            log(f"8B bench failed: {e!r}")
+        sections = [
+            ("8B W4A16", lambda: bench_8b(batch=64)),
+            ("TinyLlama W8A8", bench_tinyllama_w8a8),
+            ("8B FP8+FP8KV",
+             lambda: bench_8b_config("fp8kv", "llama3_8b_fp8_fp8kv")),
+            ("8B 2:4+INT4",
+             lambda: bench_8b_config("sparse24", "llama3_8b_sparse24_int4")),
+            ("NLL parity", bench_nll_parity),
+        ]
+        for name, fn in sections:
+            try:
+                extra.update(fn())
+            except Exception as e:  # pragma: no cover — keep the headline
+                log(f"{name} bench failed: {e!r}")
+    # config 5 (70B mixed-scheme, 2-host) has no multi-chip hardware in
+    # this environment; its serving path is validated on the virtual mesh
+    # (tests/test_engine/test_serving_sharded.py + dryrun_multichip part 3)
+    extra["config5_70b_mixed_2host"] = "serving-validated-on-virtual-mesh"
 
     print(json.dumps({
         "metric": "decode_throughput_tinyllama_1.1b_w4a16_bs64",
@@ -459,7 +624,7 @@ def main():
         "dequant_gemm_roofline_ms": round(floor_ms, 3),
         "dequant_gemm_pct_of_roofline": round(gemm_pct, 1),
         **extra_prefill,
-        **extra_8b,
+        **extra,
     }))
 
 

@@ -561,7 +561,7 @@ def w4a16_matmul(
         # adjusts through the M tile instead (prefill row counts)
         _tn_fixed = int(wp_t.shape[2])
         while tm > 128 and (tm * tk * 2 + tm * _tn_fixed * 6
-                            + tk * _tn_fixed) > 10 * 1024 * 1024:
+                            + tk * _tn_fixed) > 8 * 1024 * 1024:
             tm //= 2
     b_pad = int(np.ceil(b / tm) * tm)
 

@@ -496,11 +496,22 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
         if k_pad != k:
             # padded k-positions: u=8 (q=0) and scale=0 -> contribute 0
             u = jnp.pad(u, ((0, 0), (0, k_pad - k)), constant_values=8)
-        # pre-tile with the least-padding tn <= 4096 (measured best at
-        # decode; each weight block is one contiguous DMA stream)
+        # pre-tile with the least-padding tn <= 4096 (each weight block one
+        # contiguous DMA stream) — EXCEPT single-column-tile weights with a
+        # deep K (8B-scale down_proj): there the 3D block indexing measured
+        # ~1 ms/step slower over the model chain, while wide-N and
+        # shallow-K weights measured up to 25% faster tiled (chain A/Bs,
+        # r5; TinyLlama 1.20 -> 0.90 ms, 8B 6.5 -> 6.35)
         nt = max(1, -(-n // 4096))
         tn = int(np.ceil(n / nt / 128) * 128)
-        kernel_packed = repack_w4_b8_tiled(u, k_pad, tk, tn)
+        if nt > 1 or k_pad < 8192:
+            kernel_packed = repack_w4_b8_tiled(u, k_pad, tk, tn)
+        else:
+            from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+                repack_w4_b8,
+            )
+
+            kernel_packed = repack_w4_b8(u, k_pad, tk)
 
         scales = qt.scale.astype(jnp.float32).T  # (K/g, N)
         g_pad = k_pad // group_size - scales.shape[0]

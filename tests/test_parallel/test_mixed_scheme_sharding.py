@@ -102,20 +102,25 @@ def test_tp_sharded_w4a16_kernel_matches_unsharded():
     qt = _synthetic_qt(np.random.default_rng(0), (N, K), scheme,
                        jnp.float32, use_kernels=True)
     kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+    assert kind == "w4b8"  # default layout: byte-packed (nt, K/2, tn)
     x = jnp.asarray(
         np.random.default_rng(1).standard_normal((16, K)) * 0.1, jnp.float32)
 
-    def tp_matmul(x, wp, sc):
-        local = w4a16_matmul(x, wp, sc, None, n=n // tp, k=k_pad,
+    def tp_matmul(x, wp, sc, corr):
+        local = w4a16_matmul(x, wp, sc, corr, n=n // tp, k=k_pad,
                              group_size=group_size, tk=tk,
-                             out_dtype=jnp.float32)
+                             out_dtype=jnp.float32, mode="int4b")
         return jax.lax.all_gather(local, "tp", axis=1, tiled=True)
 
+    # tiled layout shards its output-feature dim through the tile width
+    # (dim 2); scales/corr shard their N dim
+    wp_spec = (P("tp", None, None) if qt.kernel_packed.shape[0] % tp == 0
+               else P(None, None, "tp"))
     y_tp = jax.jit(jax.shard_map(
         tp_matmul, mesh=mesh,
-        in_specs=(P(), P(None, "tp"), P(None, "tp")),
+        in_specs=(P(), wp_spec, P(None, "tp"), P(None, "tp")),
         out_specs=P(), check_vma=False,
-    ))(x, qt.kernel_packed, qt.kernel_scales)
+    ))(x, qt.kernel_packed, qt.kernel_scales, qt.kernel_zp)
     y_ref = quantized_matmul(x, qt, use_kernels=True)
     np.testing.assert_allclose(np.asarray(y_tp, np.float32),
                                np.asarray(y_ref, np.float32),
