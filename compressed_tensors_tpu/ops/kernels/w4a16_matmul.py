@@ -559,9 +559,11 @@ def w4a16_matmul(
     if wp_t.ndim == 3:
         # pre-tiled layout: tn is fixed by the layout, so the VMEM budget
         # adjusts through the M tile instead (prefill row counts)
+        # budget conservatively: Mosaic's measured stack allocation runs
+        # ~2x this estimate (decode temporaries, per-plane partials)
         _tn_fixed = int(wp_t.shape[2])
-        while tm > 128 and (tm * tk * 2 + tm * _tn_fixed * 6
-                            + tk * _tn_fixed) > 8 * 1024 * 1024:
+        while tm > 64 and (tm * tk * 2 + tm * _tn_fixed * 6
+                           + tk * _tn_fixed) > 5 * 1024 * 1024:
             tm //= 2
     b_pad = int(np.ceil(b / tm) * tm)
 
