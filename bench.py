@@ -173,6 +173,21 @@ def measure_gemm_chain_ms(params, config, batch):
     return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
+def _release(tree):
+    """Synchronously free an 8B param tree's device buffers before the
+    next section allocates (async frees + a fresh 8 GB build can overlap
+    past the 16 GB HBM)."""
+    import gc
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "delete"):
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+    gc.collect()
+
+
 def _keygen():
     import jax.random as jrandom
 
@@ -418,6 +433,7 @@ def bench_8b(batch=64):
         f"{tps:.0f} tok/s/chip; GEMM chain {gemm_ms:.2f} ms "
         f"(sol {gemm_sol_ms:.2f}); step sol {sol_ms:.2f}, "
         f"r3 target floor {R3_TARGET_FLOOR_MS}")
+    _release(params)
     return {
         "llama3_8b_marginal_tokens_s": round(tps, 1),
         "llama3_8b_ms_per_step": round(step_ms, 3),
@@ -443,6 +459,7 @@ def bench_8b_config(kind, json_prefix, batch=64):
     tps = batch / step_ms * 1e3
     log(f"llama3-8B {kind} bs{batch}: {step_ms:.2f} ms/step -> "
         f"{tps:.0f} tok/s/chip")
+    _release(params)
     return {
         f"{json_prefix}_ms_per_step": round(step_ms, 3),
         f"{json_prefix}_marginal_tokens_s": round(tps, 1),
