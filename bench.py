@@ -289,7 +289,7 @@ def build_8b_params(kind="w4b8"):
             shape=(n, k), scheme=scheme,
             format=CompressionFormat.sparse_24_bitmask.value))
         jax.block_until_ready(qt.kernel_packed)
-        return dataclasses.replace(qt, weight_packed=None,
+        return dataclasses.replace(qt, weight_packed=None, scale=None,
                                    sparse_values=None, sparse_bitmask=None)
 
     qt_device = {"w4b8": qt_w4b8, "fp8kv": qt_fp8,
@@ -484,7 +484,7 @@ def bench_tinyllama_w8a8(batch=64, steps=128, rounds=8):
     }
 
 
-def bench_nll_parity(tokens=24_576):
+def bench_nll_parity(tokens=12_288):
     """BASELINE accuracy metric: measured NLL delta, run-compressed vs
     reference-equivalent decompressed execution, plus the int8-act mode's
     delta (its qualification gate)."""

@@ -86,12 +86,7 @@ def tensor_follows_mask_structure(tensor: jnp.ndarray, mask: str = "2:4") -> boo
     return bool(jnp.all(jnp.sum(flat, axis=-1) <= n))
 
 
-def sparse24_compress(weight: jnp.ndarray):
-    """Compress a 2:4-sparse weight into (compressed (R, C/2), bitmask).
-
-    The weight must already follow the 2:4 structure (or is projected onto it
-    by magnitude).
-    """
+def _sparse24_compress_block(weight: jnp.ndarray):
     rows, cols = weight.shape
     mask = get_24_bytemasks(weight)
     values = jnp.where(mask, weight, 0)
@@ -106,11 +101,28 @@ def sparse24_compress(weight: jnp.ndarray):
     return compressed, bitmask
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def sparse24_decompress(
-    compressed: jnp.ndarray, bitmask: jnp.ndarray, shape: tuple[int, int]
-) -> jnp.ndarray:
-    """Scatter (R, C/2) values back to dense (R, C) using the bitmask."""
+@jax.jit
+def sparse24_compress(weight: jnp.ndarray):
+    """Compress a 2:4-sparse weight into (compressed (R, C/2), bitmask).
+
+    The weight must already follow the 2:4 structure (or is projected onto
+    it by magnitude). Row-blocked like sparse24_decompress: the
+    group-of-4-minor temporaries pad ~32x on TPU lanes, which at 8B weight
+    shapes materializes multi-GB intermediates."""
+    rows, cols = weight.shape
+    block = max(8, min(rows, (2 << 20) // max(cols, 1)))
+    nb = -(-rows // block)
+    if nb <= 1:
+        return _sparse24_compress_block(weight)
+    pad_rows = nb * block - rows
+    w = jnp.pad(weight, ((0, pad_rows), (0, 0)))
+    comp, bm = jax.lax.map(
+        _sparse24_compress_block, w.reshape(nb, block, cols))
+    return (comp.reshape(nb * block, cols // 2)[:rows],
+            bm.reshape(nb * block, -1)[:rows])
+
+
+def _sparse24_scatter(compressed, bitmask, shape):
     rows, cols = shape
     mask = unpack_bitmasks(bitmask, (rows, cols))
     flat_m = mask.reshape(-1, 4)
@@ -121,6 +133,31 @@ def sparse24_decompress(
     vals = jnp.take_along_axis(flat_c, gather_idx, axis=-1)
     dense = jnp.where(flat_m, vals, 0)
     return dense.reshape(rows, cols).astype(compressed.dtype)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def sparse24_decompress(
+    compressed: jnp.ndarray, bitmask: jnp.ndarray, shape: tuple[int, int]
+) -> jnp.ndarray:
+    """Scatter (R, C/2) values back to dense (R, C) using the bitmask.
+
+    Row-blocked: the (R*C/4, 4)-shaped temporaries of the scatter pad ~32x
+    on TPU lanes (4 -> 128), which at 8B weight shapes is >10 GB of HLO
+    temp; `lax.map` over row blocks bounds the padded temporary to ~64 MB
+    while keeping one compile."""
+    rows, cols = shape
+    block = max(8, min(rows, (2 << 20) // max(cols, 1)))
+    nb = -(-rows // block)
+    if nb <= 1:
+        return _sparse24_scatter(compressed, bitmask, shape)
+    pad_rows = nb * block - rows
+    comp = jnp.pad(compressed, ((0, pad_rows), (0, 0)))
+    bm = jnp.pad(bitmask, ((0, pad_rows), (0, 0)))
+    dense = jax.lax.map(
+        lambda cb: _sparse24_scatter(cb[0], cb[1], (block, cols)),
+        (comp.reshape(nb, block, -1), bm.reshape(nb, block, -1)),
+    )
+    return dense.reshape(nb * block, cols)[:rows]
 
 
 def bitmask_compress(weight: jnp.ndarray):
