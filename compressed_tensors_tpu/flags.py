@@ -46,8 +46,11 @@ class _Flags:
     w4_mode: str = "int4"
     # W4A16 activation execution precision: "auto" | "bf16" (checkpoint
     # semantics, bf16 MXU) | "int8" (per-token dynamic int8 acts on the
-    # 2x-rate int8 MXU; measured NLL delta vs bf16 execution is reported
-    # by bench.py — opt in where that delta qualifies). "auto" = bf16.
+    # 2x-rate int8 MXU). "auto" = int8 at prefill row counts (>= 256 rows,
+    # where the fused int8 chain measures ~30% faster and the act-quant
+    # launches amortize), bf16 at decode rows. Measured NLL delta of the
+    # int8 mode vs bf16 execution: ~1.5e-4 (bench.py reports it per run;
+    # BASELINE target <= 0.05).
     w4_act: str = "auto"
     # row count at/above which the bf16-act W4A16 path dequantizes the
     # weight once and runs the dense MXU dot instead of the fused kernel.

@@ -848,9 +848,17 @@ def quantized_matmul(
             if kind == "fp4":
                 mode = "fp4"
             elif kind == "w4b8":
-                mode = "a8b" if FLAGS.w4_act == "int8" else "int4b"
-            else:
-                mode = FLAGS.w4_mode
+                if FLAGS.w4_act == "int8":
+                    mode = "a8b"
+                elif FLAGS.w4_act == "bf16":
+                    mode = "int4b"
+                else:
+                    # auto: int8-MXU act quant at prefill row counts (the
+                    # fused a8b chain measures ~30% faster there and its
+                    # NLL delta vs bf16 execution is ~1.5e-4, bench.py);
+                    # at decode rows the per-matmul act-quant launches
+                    # cost more than the int8 dots save
+                    mode = "a8b" if m_rows >= 256 else "int4b"
             out = w4a16_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 qt.kernel_zp,
