@@ -103,7 +103,11 @@ def _make_kernel(is_int8: bool, q_max: float):
             preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
         ).astype(jnp.float32)
         w_scale = wscale_ref[0, :].astype(jnp.float32)  # (TN,)
-        out_ref[:] = acc * xs_ref[:, :1] * w_scale[None, :]
+        # write the out block once in its final dtype — an f32 out pays a
+        # write + convert-read HBM round trip per matmul (r5, same fix as
+        # the W4 kernels)
+        out_ref[:] = (acc * xs_ref[:, :1] * w_scale[None, :]).astype(
+            out_ref.dtype)
 
     return kernel
 
@@ -180,14 +184,14 @@ def w8a8_matmul(
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda mi, ni: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((tm, k), jnp.int8 if is_int8 else w_t.dtype),
             pltpu.VMEM((tm, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * k,
-            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 4,
+            bytes_accessed=n_pad * k + b_pad * k * 2 + b_pad * n_pad * 2,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -198,4 +202,4 @@ def w8a8_matmul(
         interpret=_interpret(),
     )(x, w_t, w_scale)
 
-    return out[:b, :n].astype(out_dtype)
+    return out[:b, :n]
