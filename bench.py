@@ -102,11 +102,14 @@ def bench_decode(params, config, batch=64, prompt_len=16, steps=32,
         dtype=jnp.int32,
     )
 
-    # warmup (compile)
+    # warmup (compile), then best-of-2 (the remote-TPU tunnel adds
+    # run-to-run jitter of several percent)
     int(prefill_and_decode(params, input_ids))
-    t0 = time.perf_counter()
-    int(prefill_and_decode(params, input_ids))
-    dt = time.perf_counter() - t0
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        int(prefill_and_decode(params, input_ids))
+        dt = min(dt, time.perf_counter() - t0)
     tokens = batch * steps * rounds
     return tokens / dt, dt
 
@@ -163,7 +166,7 @@ def measure_gemm_chain_ms(params, config, batch):
     def t(n):
         float(loop(layers, lm_head, jnp.int32(n)))
         best = 1e9
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             float(loop(layers, lm_head, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
@@ -376,7 +379,7 @@ def measure_8b_decode(params, config, cache_dtype, batch=64):
     def t(n):
         int(run(params, ids, jnp.int32(n)))
         best = 1e9
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             int(run(params, ids, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
