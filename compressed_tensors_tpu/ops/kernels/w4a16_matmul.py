@@ -167,18 +167,18 @@ def retile_b8_scales(
     """
     g_total, n = scales_t.shape
     tiles = k // tk
-    assert g_total == tiles * PLANES, (g_total, tiles)
-    s = scales_t.astype(jnp.float32).reshape(tiles, PLANES, n)
+    gpt = tk // group_size
+    assert g_total == tiles * gpt, (g_total, tiles, gpt)
+    s = scales_t.astype(jnp.float32).reshape(tiles, gpt, n)
     zp = (jnp.zeros_like(s) if zp_t is None
-          else zp_t.astype(jnp.float32).reshape(tiles, PLANES, n))
-    half = PLANES // 2
+          else zp_t.astype(jnp.float32).reshape(tiles, gpt, n))
+    half = gpt // 2
     s_kernel = jnp.concatenate([s[:, :half], s[:, half:] / 16.0], axis=1)
     corr = jnp.concatenate(
         [(8.0 + zp[:, :half]) * s[:, :half], zp[:, half:] * s[:, half:]],
         axis=1,
     )
-    return s_kernel.reshape(tiles * PLANES, n), corr.reshape(
-        tiles * PLANES, n)
+    return s_kernel.reshape(tiles * gpt, n), corr.reshape(tiles * gpt, n)
 
 
 def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4",
@@ -265,13 +265,13 @@ def _make_kernel(tk: int, group_size: int, has_zp: bool, mode: str = "int4",
             if mode == "a8b":
                 sum_x = jnp.sum(
                     x.astype(jnp.int32).reshape(
-                        x.shape[0], PLANES, group_size),
+                        x.shape[0], gpt, group_size),
                     axis=2,
                 ).astype(jnp.float32)
             else:
                 sum_x = jnp.sum(
                     x.astype(jnp.float32).reshape(
-                        x.shape[0], PLANES, group_size),
+                        x.shape[0], gpt, group_size),
                     axis=2,
                 )
             corr = jax.lax.dot_general(
@@ -631,8 +631,10 @@ def w4a16_matmul(
     wpt = tk // 2 if mode in ("int4b", "a8b") else tk // PLANES
 
     # int4/mat retiled scales have 8 rows (one group per plane) per k-tile;
-    # fp4 scales stay in k-order with tk/group_size rows per k-tile
-    scale_rows = tk // group_size if mode == "fp4" else PLANES
+    # fp4 and b8 scales carry tk/group_size rows per k-tile (b8 supports
+    # deepened TK beyond 8*group_size)
+    scale_rows = (tk // group_size if mode in ("fp4", "int4b", "a8b")
+                  else PLANES)
     in_specs = [
         pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki),
                      memory_space=pltpu.VMEM),
@@ -652,7 +654,7 @@ def w4a16_matmul(
         args.append(x_scale)
     if zp_t is not None:
         in_specs.append(
-            pl.BlockSpec((PLANES, tn), lambda mi, ni, ki: (ki, ni),
+            pl.BlockSpec((scale_rows, tn), lambda mi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM)
         )
         args.append(zp_t)
