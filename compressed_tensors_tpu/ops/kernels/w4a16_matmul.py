@@ -1,33 +1,40 @@
-"""Fused W4A16 dequant+matmul Pallas kernel.
+"""Fused W4A16 dequant+matmul Pallas kernels.
 
 Replaces the reference's delegate-to-vLLM seam (`linear/compressed_linear.py`)
-with a TPU-native kernel: 4-bit weights stay packed in HBM, are unpacked and
-dequantized in VMEM inside the matmul pipeline, and never materialize as
-bf16 in HBM.
-
-Key idea: K-tiles are sized TK = 8 * group_size, so nibble-plane j of each
-int32 word covers exactly quant group j of the tile. The dot then runs on
-the *raw offset-unsigned nibbles* and the affine dequant is applied after
-the dot as a rank-1 correction:
+with TPU-native kernels: 4-bit weights stay packed in HBM, are decoded in
+VMEM inside the matmul pipeline, and never materialize as bf16 in HBM. The
+shared structure across layouts: per k-tile, the dot runs on *raw
+offset-unsigned nibbles* per quant group and the affine dequant applies
+AFTER the dots as one low-rank MXU correction:
 
     y_j = s_j * (x_j @ u_j) - s_j * (8 + zp_j) * sum(x_j)
 
-(u = q + 8 stored unsigned). Per weight element the VPU does only
-shift + mask + convert; scale/zero-point math touches (B, TN) tiles, which
-is negligible. This takes the kernel from arithmetic-bound to
-bandwidth-bound on the packed bytes.
+(u = q + 8 stored unsigned); all per-group terms collapse into a single
+(TB, gpt) @ (gpt, TN) dot of precomputed coefficients.
 
-Weight layout (built once at load time from the checkpoint's
-`pack_quantized` int32 packing, ref compressors/pack_quantized/helpers.py):
+Layouts / modes (docs/kernels.md derives the measurements):
 
-- ``wp_t``: int32 (K/8, N), K-major. Within each K-tile of size TK, word
-  row i holds nibbles of k-positions ``tile_start + j*TK/8 + i`` at shift
-  ``4*j`` — so plane j is the contiguous k-range [j*TK/8, (j+1)*TK/8).
-- ``scales_t``/``zp_t``: re-tiled to (K_tiles * rpt, N) with 8-sublane
-  blocks per tile (see `retile_groups`).
+- **b8 byte layout** (default; modes "int4b" bf16-MXU / "a8b" int8-MXU):
+  nibble pairs in int8 bytes — low nibble = k-position s of the tile, high
+  nibble = k-position tk/2 + s with its MSB flipped so that
+  ``(byte & 0xF0)`` as signed int8 equals exactly ``16*u_hi - 128``.
+  Decode is two int8 AND ops per byte at packed-byte lane density (Mosaic
+  legalizes no i8 vector shifts); the 1/16 and the offset fold into the
+  retiled scales/correction (`retile_b8_scales`). Optionally pre-tiled to
+  (N/tn, K/2, tn) for contiguous block DMAs (`repack_w4_b8_tiled`).
+- **int32 plane layout** (modes "int4"/"a8"/"mat"): TK = 8*group_size, one
+  quant group per nibble plane of each int32 word; decode is
+  shift+mask+convert per plane.
+- **e8**: int4 pre-expanded to signed int8 k-major (2x HBM bytes, zero
+  nibble work) — A/B fallback.
+- mode "fp4": E2M1 codes decoded in-register for the NVFP4/MXFP4 formats.
+- modes "a8"/"a8b" quantize activations per token to int8 on entry and run
+  the dots on the 2x-rate int8 MXU (execution-precision opt-in, NLL delta
+  ~2e-4 measured; `w4_act=auto` uses it at prefill row counts).
 
-K is zero-padded to a multiple of TK at load time (padded groups get
-scale 0, so they contribute exactly 0).
+All modes accumulate in an f32 VMEM scratch and write the out block once,
+in its final dtype, on the last k step. K is zero-padded to a multiple of
+TK at load time (padded groups get scale 0, so they contribute exactly 0).
 """
 
 from __future__ import annotations
