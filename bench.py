@@ -416,6 +416,57 @@ def bench_8b(batch=64):
 
     gemm_ms = measure_gemm_chain_ms(params, config, batch)
 
+    # long-prompt prefill + TTFT at the 8B scale (B=1, S=2048; the int8-act
+    # auto mode engages at these row counts)
+    prefill_keys = {}
+    try:
+        from compressed_tensors_tpu.models.llama import (
+            init_kv_cache,
+            llama_forward,
+        )
+
+        S = 2048
+        rng8 = np.random.default_rng(1)
+        pids = jnp.asarray(rng8.integers(0, V, (1, S)), jnp.int32)
+
+        @jax.jit
+        def prefill_loop(params, ids, n):
+            def body(c):
+                i, acc = c
+                cache = init_kv_cache(config, 1, S + 64,
+                                      dtype=jnp.bfloat16)
+                positions = jnp.broadcast_to(jnp.arange(S), (1, S))
+                rot = jnp.where(i % 2 == 0, ids,
+                                (ids + 1) % config.vocab_size)
+                logits, cache = llama_forward(
+                    params, config, rot, positions, cache,
+                    fresh_prefill=True, last_logit_only=True)
+                return i + 1, acc + jnp.sum(
+                    jnp.argmax(logits[:, -1], -1))
+            _, acc = jax.lax.while_loop(lambda c: c[0] < n, body,
+                                        (jnp.int32(0), jnp.int32(0)))
+            return acc
+
+        def tp(n):
+            int(prefill_loop(params, pids, jnp.int32(n)))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(prefill_loop(params, pids, jnp.int32(n)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        marg = (tp(3) - tp(1)) / 2
+        ttft = tp(1)
+        log(f"llama3-8B prefill B=1 S={S}: {marg*1e3:.1f} ms marginal "
+            f"(TTFT {ttft*1e3:.0f} ms), {S/marg/1e3:.1f}k tok/s")
+        prefill_keys = {
+            "llama3_8b_prefill_tokens_s": round(S / marg, 1),
+            "llama3_8b_ttft_ms_s2048_b1": round(ttft * 1e3, 1),
+        }
+    except Exception as e:  # pragma: no cover
+        log(f"8B prefill bench failed: {e!r}")
+
     # Floors. "sol" = strict speed of light: per component
     # max(full-rate MXU, HBM stream), no utilization discount. The r3
     # accounting assumed a 50%-row-utilization MXU ceiling at batch 64;
@@ -451,6 +502,7 @@ def bench_8b(batch=64):
         "llama3_8b_a8_ms_per_step": round(step_ms_a8, 3),
         "llama3_8b_a8_marginal_tokens_s": round(tps_a8, 1),
         "llama3_8b_a8_pct_of_sol": round(100 * sol_ms / step_ms_a8, 1),
+        **prefill_keys,
     }
 
 
