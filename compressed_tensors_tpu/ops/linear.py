@@ -451,11 +451,11 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             kernel_meta=("fp4", n, k, k_pad, group_size, tk),
         )
 
-    # ---- W4A16 fused dequant matmul ------------------------------------ #
+    # ---- WnA16 fused dequant matmul ------------------------------------ #
     if (
         qt.format != CompressionFormat.pack_quantized.value
         or weights_args is None
-        or weights_args.num_bits != 4
+        or weights_args.num_bits not in (2, 3, 4, 5, 6, 7, 8)
         or weights_args.strategy
         not in (QuantizationStrategy.GROUP.value,)
         or qt.g_idx is not None
@@ -464,13 +464,47 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
         return qt
 
     n, k = qt.shape
+    num_bits = weights_args.num_bits
     group_size = weights_args.group_size
     tk = choose_k_tile(k, group_size)
     k_pad = padded_k(k, group_size)
     if k % group_size != 0:
         return qt
 
-    unpacked = unpack_from_int32(qt.weight_packed, 4, qt.shape)  # int8
+    unpacked = unpack_from_int32(qt.weight_packed, num_bits,
+                                 qt.shape)  # int8/int16
+
+    if num_bits != 4:
+        # non-4-bit WnA16 (W2..W8A16 presets): expand to signed int8
+        # k-major and ride the grouped-int8 kernel (`w4_e8_matmul` is
+        # value-generic: per-group depth dots on int8 values, scale on the
+        # out tile). 1 byte/elem HBM vs the 2 bytes/elem of the XLA
+        # dequantize-to-bf16 fallback these widths used before. Per-group
+        # zero points fold into the stored values (q - zp fits int8 for
+        # widths < 8; 8-bit asym stays on the fallback).
+        q = unpacked.astype(jnp.int32)
+        if qt.zero_point is not None:
+            if num_bits >= 8:
+                return qt
+            zp = qt.zero_point
+            if zp.dtype == jnp.int32:  # checkpoint packed_dim=0 packing
+                zp_shape = (n, qt.scale.shape[-1])
+                zp = unpack_from_int32(zp, num_bits, zp_shape,
+                                       packed_dim=0)
+            q = q - jnp.repeat(zp.astype(jnp.int32), group_size, axis=1)
+        w8 = q.astype(jnp.int8).T  # (K, N)
+        if k_pad != k:
+            w8 = jnp.pad(w8, ((0, k_pad - k), (0, 0)))
+        scales = qt.scale.astype(jnp.float32).T  # (K/g, N)
+        g_pad = k_pad // group_size - scales.shape[0]
+        if g_pad:
+            scales = jnp.pad(scales, ((0, g_pad), (0, 0)))
+        return dataclasses.replace(
+            qt,
+            kernel_packed=w8,
+            kernel_scales=scales,
+            kernel_meta=("w4e8", n, k, k_pad, group_size, tk),
+        )
 
     # layout choice: "e8" expands to signed int8 k-major (1 convert/elem in
     # the kernel instead of nibble extraction — decode is VPU-bound on v5e)

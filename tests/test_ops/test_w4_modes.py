@@ -162,3 +162,64 @@ def test_xor_offset_identity():
         byte = np.uint8((u_hi ^ 8) << 4)
         signed = np.int8(byte & 0xF0)
         assert int(signed) == 16 * u_hi - 128, u_hi
+
+
+@pytest.mark.parametrize("num_bits,symmetric", [
+    (2, True), (3, True), (5, True), (6, True), (7, True), (8, True),
+    (3, False), (5, False), (7, False),
+])
+def test_wna16_widths_ride_grouped_int8_kernel(rng, num_bits, symmetric):
+    """Every WnA16 width gets a fused kernel: non-4-bit packs expand to
+    the grouped-int8 layout (zero points folded into the stored values)
+    and match the XLA dequant path."""
+    from compressed_tensors_tpu.quantization import QuantizationScheme
+
+    scheme = QuantizationScheme(
+        targets=["Linear"],
+        weights={"num_bits": num_bits, "type": "int", "strategy": "group",
+                 "group_size": 32, "symmetric": symmetric},
+    )
+    args = scheme.weights
+    n, k = 48, 256
+    w = (rng.normal(size=(n, k)) * 0.1).astype(np.float32)
+    g = w.reshape(n, -1, args.group_size)
+    scale, zp = calculate_qparams(jnp.asarray(g.min(-1)),
+                                  jnp.asarray(g.max(-1)), args)
+    state = {"weight": jnp.asarray(w), "weight_scale": scale}
+    if not symmetric:
+        state["weight_zero_point"] = zp
+    compressed = PackedQuantizationCompressor.compress(state, scheme)
+    qt = prepare_for_kernels(from_compressed_state(compressed, scheme))
+
+    assert qt.kernel_packed is not None
+    assert qt.kernel_meta[0] == "w4e8"
+    assert qt.kernel_packed.dtype == jnp.int8
+
+    x = jnp.asarray((rng.normal(size=(4, k)) * 0.5).astype(np.float32))
+    y = np.asarray(quantized_matmul(x, qt))
+    w_dense = np.asarray(materialize_weight(qt, dtype=jnp.float32))
+    y_ref = np.asarray(x, np.float32) @ w_dense.T
+    np.testing.assert_allclose(y, y_ref, atol=2e-2 * np.abs(y_ref).max(),
+                               rtol=2e-2)
+
+
+def test_w8a16_asym_falls_back(rng):
+    """8-bit asym q - zp can overflow int8: stays on the XLA path."""
+    from compressed_tensors_tpu.quantization import QuantizationScheme
+
+    scheme = QuantizationScheme(
+        targets=["Linear"],
+        weights={"num_bits": 8, "type": "int", "strategy": "group",
+                 "group_size": 32, "symmetric": False},
+    )
+    args = scheme.weights
+    n, k = 16, 64
+    w = (rng.normal(size=(n, k)) * 0.1).astype(np.float32)
+    g = w.reshape(n, -1, args.group_size)
+    scale, zp = calculate_qparams(jnp.asarray(g.min(-1)),
+                                  jnp.asarray(g.max(-1)), args)
+    state = {"weight": jnp.asarray(w), "weight_scale": scale,
+             "weight_zero_point": zp}
+    compressed = PackedQuantizationCompressor.compress(state, scheme)
+    qt = prepare_for_kernels(from_compressed_state(compressed, scheme))
+    assert qt.kernel_packed is None
