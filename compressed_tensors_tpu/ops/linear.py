@@ -887,12 +887,15 @@ def quantized_matmul(
                 elif FLAGS.w4_act == "bf16":
                     mode = "int4b"
                 else:
-                    # auto: int8-MXU act quant at prefill row counts (the
-                    # fused a8b chain measures ~30% faster there and its
-                    # NLL delta vs bf16 execution is ~1.5e-4, bench.py);
-                    # at decode rows the per-matmul act-quant launches
-                    # cost more than the int8 dots save
-                    mode = "a8b" if m_rows >= 256 else "int4b"
+                    # auto: int8-MXU act quant at prefill row counts for
+                    # 8B-class matmul dims (measured: 8B prefill chain
+                    # -30%, TTFT 253 -> 232 ms; NLL delta vs bf16
+                    # execution 1.5e-4, bench.py). Small dims lose: the
+                    # act-quant producer work outweighs the int8-MXU gain
+                    # (TinyLlama prefill measured 3% slower), and at
+                    # decode rows the per-matmul quant launches dominate.
+                    mode = ("a8b" if m_rows >= 256 and n >= 4096
+                            and k >= 4096 else "int4b")
             out = w4a16_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 qt.kernel_zp,
