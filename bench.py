@@ -395,7 +395,6 @@ def bench_8b(batch=64):
 
     Returns a dict of JSON keys, or {} off-TPU (8B on CPU is pointless).
     """
-    config = None
     params, config, cache_dtype = build_8b_params("w4b8")
     H, I = config.hidden_size, config.intermediate_size
     NH, KVH, D = (config.num_attention_heads, config.num_key_value_heads,

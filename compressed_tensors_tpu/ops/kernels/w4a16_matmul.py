@@ -162,15 +162,16 @@ def retile_b8_scales(
 ):
     """Kernel-side scale/correction operands for the b8 byte layout.
 
-    Per k-tile the 8 group rows split lo (0..3) / hi (4..7). The hi-plane
-    dot returns d_v = x @ (16*u_hi - 128) = 16*(x@u_hi) - 128*sum(x), so
-    with y_j = s_j*(x@u_j) - s_j*(8+zp_j)*sum(x):
+    Per k-tile the gpt = tk/group_size group rows split lo (first half) /
+    hi (second half). The hi-plane dot returns
+    d_v = x @ (16*u_hi - 128) = 16*(x@u_hi) - 128*sum(x), so with
+    y_j = s_j*(x@u_j) - s_j*(8+zp_j)*sum(x):
 
       lo planes: scale s_j,     correction coefficient (8+zp_j)*s_j
       hi planes: scale s_j/16,  correction coefficient zp_j*s_j
                  (the -128 offset exactly cancels the u = q+8 offset)
 
-    Returns (scales_kernel, corr_kernel), both (K/tk*8, N) f32.
+    Returns (scales_kernel, corr_kernel), both (K/group_size, N) f32.
     """
     g_total, n = scales_t.shape
     tiles = k // tk
