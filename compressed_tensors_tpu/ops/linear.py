@@ -67,6 +67,11 @@ class QuantizedTensor:
     kernel_packed: Optional[jnp.ndarray] = None
     kernel_scales: Optional[jnp.ndarray] = None
     kernel_zp: Optional[jnp.ndarray] = None
+    # g_idx (actorder) checkpoints: load-time column permutation that makes
+    # quant groups contiguous so the fused kernels apply; the matmul
+    # gathers x by this before the kernel (one lane shuffle instead of the
+    # dequantize-to-bf16 fallback)
+    kernel_perm: Optional[jnp.ndarray] = None
 
     # static metadata
     format: str = dataclasses.field(
@@ -458,7 +463,6 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
         or weights_args.num_bits not in (2, 3, 4, 5, 6, 7, 8)
         or weights_args.strategy
         not in (QuantizationStrategy.GROUP.value,)
-        or qt.g_idx is not None
         or len(qt.shape) != 2
     ):
         return qt
@@ -473,6 +477,18 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
 
     unpacked = unpack_from_int32(qt.weight_packed, num_bits,
                                  qt.shape)  # int8/int16
+
+    kernel_perm = None
+    if qt.g_idx is not None:
+        # actorder (g_idx) checkpoints: permute weight columns at load so
+        # quant groups are contiguous (scale column j already belongs to
+        # group j); the matmul gathers x by the same permutation at
+        # runtime — one lane shuffle replaces the reference's argsort
+        # inside every QDQ (ref forward_helpers.py:118-177) AND keeps the
+        # fused kernel instead of the dequantize fallback
+        order = jnp.argsort(qt.g_idx.astype(jnp.int32), stable=True)
+        unpacked = jnp.take(unpacked, order, axis=1)
+        kernel_perm = order.astype(jnp.int32)
 
     if num_bits != 4:
         # non-4-bit WnA16 (W2..W8A16 presets): expand to signed int8
@@ -503,6 +519,7 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             qt,
             kernel_packed=w8,
             kernel_scales=scales,
+            kernel_perm=kernel_perm,
             kernel_meta=("w4e8", n, k, k_pad, group_size, tk),
         )
 
@@ -568,6 +585,7 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             kernel_packed=kernel_packed,
             kernel_scales=kernel_scales,
             kernel_zp=kernel_corr,  # corr coefficients ride the zp slot
+            kernel_perm=kernel_perm,
             kernel_meta=("w4b8", n, k, k_pad, group_size, tk),
         )
     if layout == "e8" and qt.zero_point is None:
@@ -582,6 +600,7 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
             qt,
             kernel_packed=w8,
             kernel_scales=scales,
+            kernel_perm=kernel_perm,
             kernel_meta=("w4e8", n, k, k_pad, group_size, tk),
         )
 
@@ -614,6 +633,7 @@ def prepare_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
         kernel_packed=kernel_packed,
         kernel_scales=scales,
         kernel_zp=kernel_zp,
+        kernel_perm=kernel_perm,
         kernel_meta=("w4a16", n, k, k_pad, group_size, tk),
     )
 
@@ -851,6 +871,10 @@ def quantized_matmul(
             if qt.bias is not None:
                 out = out + qt.bias.astype(out.dtype)
             return out
+        if qt.kernel_perm is not None:
+            # actorder layout: gather x columns into the group-contiguous
+            # order the kernel weights were repacked in (load-time perm)
+            x = jnp.take(x, qt.kernel_perm, axis=-1)
         if qt.kernel_meta[0] == "w8a8":
             from compressed_tensors_tpu.ops.kernels.w8a8_matmul import (
                 w8a8_matmul,

@@ -69,8 +69,10 @@ def test_w4a16_kernel_3d_input(rng):
                                atol=2e-2, rtol=1e-2)
 
 
-def test_unsupported_layers_fall_back(rng):
-    # actorder layers keep the XLA path
+def test_actorder_g_idx_rides_fused_kernel(rng):
+    """actorder (g_idx) checkpoints get the fused kernel via a load-time
+    column permutation + runtime x gather (r5; previously XLA fallback),
+    and still match the XLA dequant oracle."""
     from compressed_tensors_tpu.quantization import QuantizationScheme
 
     scheme = QuantizationScheme(
@@ -79,13 +81,49 @@ def test_unsupported_layers_fall_back(rng):
                  "group_size": 64, "symmetric": True, "actorder": "group"},
     )
     args = scheme.weights
-    w = (rng.normal(size=(32, 128)) * 0.1).astype(np.float32)
-    g = w.reshape(32, -1, 64)
-    scale, _ = calculate_qparams(jnp.asarray(g.min(-1)), jnp.asarray(g.max(-1)),
-                                 args)
-    g_idx = jnp.asarray(np.repeat(np.arange(2), 64).astype(np.int32))
+    n, k = 32, 256
+    w = (rng.normal(size=(n, k)) * 0.1).astype(np.float32)
+    # a PERMUTED group assignment (the GPTQ actorder shape): each group
+    # still has exactly group_size columns, scattered over k
+    perm_groups = rng.permutation(k // 64)
+    g_idx_cols = np.empty(k, np.int32)
+    for j, gidx in enumerate(perm_groups):
+        g_idx_cols[j * 64 : (j + 1) * 64] = gidx
+    order = np.argsort(g_idx_cols, kind="stable")
+    w_grouped = w[:, order].reshape(n, -1, 64)
+    scale, _ = calculate_qparams(jnp.asarray(w_grouped.min(-1)),
+                                 jnp.asarray(w_grouped.max(-1)), args)
     state = {"weight": jnp.asarray(w), "weight_scale": scale,
-             "weight_g_idx": g_idx}
+             "weight_g_idx": jnp.asarray(g_idx_cols)}
+    compressed = PackedQuantizationCompressor.compress(state, scheme)
+    qt = from_compressed_state(compressed, scheme)
+    qt = prepare_for_kernels(qt)
+    assert qt.kernel_packed is not None
+    assert qt.kernel_perm is not None
+
+    x = jnp.asarray((rng.normal(size=(4, k)) * 0.5).astype(np.float32))
+    y = np.asarray(quantized_matmul(x, qt))
+    w_dense = np.asarray(materialize_weight(qt, dtype=jnp.float32))
+    y_ref = np.asarray(x, np.float32) @ w_dense.T
+    np.testing.assert_allclose(y, y_ref, atol=2e-2 * np.abs(y_ref).max(),
+                               rtol=2e-2)
+
+
+def test_unsupported_layers_fall_back(rng):
+    # non-group strategies keep the XLA path in prepare_for_kernels
+    from compressed_tensors_tpu.quantization import QuantizationScheme
+
+    scheme = QuantizationScheme(
+        targets=["Linear"],
+        weights={"num_bits": 4, "type": "int", "strategy": "channel",
+                 "symmetric": True},
+    )
+    args = scheme.weights
+    w = (rng.normal(size=(32, 128)) * 0.1).astype(np.float32)
+    scale, _ = calculate_qparams(
+        jnp.asarray(w.min(-1, keepdims=True)),
+        jnp.asarray(w.max(-1, keepdims=True)), args)
+    state = {"weight": jnp.asarray(w), "weight_scale": scale}
     compressed = PackedQuantizationCompressor.compress(state, scheme)
     qt = from_compressed_state(compressed, scheme)
     qt = prepare_for_kernels(qt)
