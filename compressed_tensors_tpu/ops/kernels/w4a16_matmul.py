@@ -591,6 +591,8 @@ def w4a16_matmul(
 
     tiled = wp_t.ndim == 3  # pre-tiled b8 (nt, K/2, tn): contiguous DMAs
     if tiled:
+        assert mode in ("int4b", "a8b"), (
+            f"pre-tiled weight layout requires a b8 mode, got {mode!r}")
         tn = int(wp_t.shape[2])
     elif tn is None:
         # the widest N tile VMEM affords: bigger tiles amortize the k-tile
