@@ -853,13 +853,24 @@ def load_llama_params(
                 if m.startswith(f"{base}.{exp}.")
                 and m.endswith(f".{src_names[0]}")
             )
-            # experts stay in checkpoint layout (the batched expert matmul
-            # consumes the 3D leaves directly; 2D kernel layouts don't stack)
-            experts = {
-                dst: stack_quantized_tensors([
+            # experts stack in checkpoint layout, then WnA16 formats get
+            # stacked fused-kernel layouts (vmapped over the expert dim);
+            # w8a8 formats keep the 3D leaves for the native batched
+            # int8/fp8 MXU path
+            from compressed_tensors_tpu.ops.linear import (
+                prepare_experts_for_kernels,
+            )
+
+            def _stack_experts(src):
+                st = stack_quantized_tensors([
                     _get_qt(f"{base}.{exp}.{j}.{src}", kernels=False)
                     for j in range(E)
                 ])
+                return (prepare_experts_for_kernels(st)
+                        if use_kernels else st)
+
+            experts = {
+                dst: _stack_experts(src)
                 for src, dst in zip(src_names, dst_names)
             }
             router_state = reader.module_state_dict(f"{base}.gate")

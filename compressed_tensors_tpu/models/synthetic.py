@@ -88,7 +88,15 @@ def _synthetic_qt(rng: np.random.Generator, shape,
             weight_packed=packed, scale=scale, shape=shape, scheme=scheme,
             format=fmt,
         )
-        return prepare_for_kernels(qt) if use_kernels else qt
+        if use_kernels:
+            if lead:
+                from compressed_tensors_tpu.ops.linear import (
+                    prepare_experts_for_kernels,
+                )
+
+                return prepare_experts_for_kernels(qt)
+            return prepare_for_kernels(qt)
+        return qt
 
     if fmt in (CompressionFormat.int_quantized.value,
                CompressionFormat.naive_quantized.value):

@@ -722,6 +722,49 @@ def stack_quantized_tensors(qts: list[QuantizedTensor]) -> QuantizedTensor:
     return dataclasses.replace(stacked, shape=(len(qts), *qts[0].shape))
 
 
+
+def _w4b8_mode(m_rows: int, n: int, k: int) -> str:
+    """Activation-precision mode for the b8 layout (see flags.w4_act)."""
+    from compressed_tensors_tpu.flags import FLAGS
+
+    if FLAGS.w4_act == "int8":
+        return "a8b"
+    if FLAGS.w4_act == "bf16":
+        return "int4b"
+    return ("a8b" if m_rows >= 256 and n >= 4096 and k >= 4096
+            else "int4b")
+
+
+def prepare_experts_for_kernels(qt: QuantizedTensor) -> QuantizedTensor:
+    """Stacked-expert (3D) analogue of prepare_for_kernels: prepare each
+    expert slice and restack the kernel leaves, so the batched expert
+    matmul can vmap the fused WnA16 kernels over the expert dim instead of
+    materializing every expert dense in bf16. Formats without a stackable
+    kernel layout (w8a8 runs natively batched on the int8/fp8 MXU) return
+    unchanged."""
+    if qt.kernel_packed is not None or len(qt.shape) != 3:
+        return qt
+    E = qt.shape[0]
+    fields = ("weight", "weight_packed", "scale", "zero_point", "g_idx",
+              "global_scale", "input_global_scale", "bias")
+
+    def expert(e):
+        rep = {f: (getattr(qt, f)[e] if getattr(qt, f) is not None
+                   else None) for f in fields}
+        return dataclasses.replace(qt, shape=tuple(qt.shape[1:]), **rep)
+
+    prepped = [prepare_for_kernels(expert(e)) for e in range(E)]
+    first = prepped[0]
+    if first.kernel_packed is None or first.kernel_meta is None:
+        return qt
+    if first.kernel_meta[0] not in ("w4b8", "w4e8"):
+        return qt
+    if any(p.kernel_perm is not None for p in prepped):
+        return qt  # actorder experts stay on the fallback
+    stacked = stack_quantized_tensors(prepped)
+    return dataclasses.replace(stacked, shape=qt.shape)
+
+
 def quantized_matmul_experts(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     """Batched expert matmul: y[e] = x[e] @ W[e]^T for stacked expert weights.
 
@@ -738,6 +781,39 @@ def quantized_matmul_experts(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray
     weights_args = scheme.weights if scheme is not None else None
     E, C, K = x.shape
     batched_dims = (((2,), (2,)), ((0,), (0,)))
+
+    if (
+        qt.kernel_packed is not None
+        and qt.kernel_meta is not None
+        and qt.kernel_meta[0] in ("w4b8", "w4e8")
+        and _kernel_enabled()
+    ):
+        # stacked WnA16 kernel layouts (prepare_experts_for_kernels):
+        # vmap the fused kernel over the expert dim — weights stay packed
+        # in HBM instead of materializing E dense bf16 experts per call
+        kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+        if kind == "w4b8":
+            from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+                w4a16_matmul,
+            )
+
+            mode = _w4b8_mode(C, n, k)
+            out = jax.vmap(lambda xe, w, s, c: w4a16_matmul(
+                xe, w, s, c, n=n, k=k_pad, group_size=group_size, tk=tk,
+                out_dtype=x.dtype, mode=mode,
+            ))(x, qt.kernel_packed, qt.kernel_scales, qt.kernel_zp)
+        else:
+            from compressed_tensors_tpu.ops.kernels.w4a16_matmul import (
+                w4_e8_matmul,
+            )
+
+            out = jax.vmap(lambda xe, w, s: w4_e8_matmul(
+                xe, w, s, n=n, k=k_pad, group_size=group_size, tk=tk,
+                out_dtype=x.dtype,
+            ))(x, qt.kernel_packed, qt.kernel_scales)
+        if qt.bias is not None:
+            out = out + qt.bias.astype(out.dtype)[:, None, :]
+        return out
 
     use_int8 = (
         qt.weight is not None
@@ -906,20 +982,13 @@ def quantized_matmul(
             if kind == "fp4":
                 mode = "fp4"
             elif kind == "w4b8":
-                if FLAGS.w4_act == "int8":
-                    mode = "a8b"
-                elif FLAGS.w4_act == "bf16":
-                    mode = "int4b"
-                else:
-                    # auto: int8-MXU act quant at prefill row counts for
-                    # 8B-class matmul dims (measured: 8B prefill chain
-                    # -30%, TTFT 253 -> 232 ms; NLL delta vs bf16
-                    # execution 1.5e-4, bench.py). Small dims lose: the
-                    # act-quant producer work outweighs the int8-MXU gain
-                    # (TinyLlama prefill measured 3% slower), and at
-                    # decode rows the per-matmul quant launches dominate.
-                    mode = ("a8b" if m_rows >= 256 and n >= 4096
-                            and k >= 4096 else "int4b")
+                # int8-MXU act quant at prefill row counts for 8B-class
+                # matmul dims (measured: 8B prefill chain -30%, TTFT
+                # 253 -> 232 ms; NLL delta vs bf16 execution 1.5e-4,
+                # bench.py). Small dims lose: the act-quant producer work
+                # outweighs the int8-MXU gain, and at decode rows the
+                # per-matmul quant launches dominate.
+                mode = _w4b8_mode(m_rows, n, k)
             out = w4a16_matmul(
                 x.reshape(-1, k), qt.kernel_packed, qt.kernel_scales,
                 qt.kernel_zp,

@@ -223,3 +223,36 @@ def test_w8a16_asym_falls_back(rng):
     compressed = PackedQuantizationCompressor.compress(state, scheme)
     qt = prepare_for_kernels(from_compressed_state(compressed, scheme))
     assert qt.kernel_packed is None
+
+
+def test_stacked_experts_ride_vmapped_kernel(rng):
+    """3D (MoE) W4A16 expert stacks get stacked b8 kernel layouts and the
+    batched expert matmul matches the XLA dequant path per expert."""
+    from compressed_tensors_tpu.ops.linear import (
+        prepare_experts_for_kernels,
+        quantized_matmul_experts,
+    )
+    from compressed_tensors_tpu.ops.pack import pack_to_int32
+
+    scheme = preset_name_to_scheme("W4A16", ["Linear"])
+    E, n, k = 3, 32, 256
+    q = rng.integers(-8, 8, (E, n, k)).astype(np.int8)
+    sc = (rng.random((E, n, k // 128)) * 0.02 + 0.001).astype(np.float32)
+    qt = prepare_experts_for_kernels(
+        __import__("compressed_tensors_tpu.ops.linear",
+                   fromlist=["QuantizedTensor"]).QuantizedTensor(
+            weight_packed=pack_to_int32(jnp.asarray(q), 4),
+            scale=jnp.asarray(sc),
+            shape=(E, n, k), scheme=scheme,
+            format="pack-quantized",
+        ))
+    assert qt.kernel_packed is not None
+    assert qt.kernel_meta[0] == "w4b8"
+    assert qt.kernel_packed.shape[0] == E
+
+    x = jnp.asarray((rng.normal(size=(E, 5, k)) * 0.5).astype(np.float32))
+    y = np.asarray(quantized_matmul_experts(x, qt))
+    w = (q.reshape(E, n, -1, 128) * sc[..., None]).reshape(E, n, k)
+    ref = np.einsum("eck,enk->ecn", np.asarray(x, np.float32), w)
+    np.testing.assert_allclose(y, ref, atol=2e-2 * np.abs(ref).max(),
+                               rtol=2e-2)
