@@ -546,15 +546,24 @@ def bench_nll_parity(tokens=12_288):
 
     _sys.path.insert(0, str(__import__("pathlib").Path(
         __file__).parent / "benchmarks"))
-    from nll_parity import measure
+    from nll_parity import measure, measure_extra
 
     r = measure(preset="W4A16", tokens=tokens, log=log)
-    return {
+    out = {
         "nll_delta_w4a16_runcompressed": round(r["nll_delta_int4b"], 6),
         "nll_delta_w4a16_int8act": round(r["nll_delta_a8b"], 6),
         "kl_w4a16_runcompressed": float(f"{r['kl_int4b']:.3e}"),
         "kl_w4a16_int8act": float(f"{r['kl_a8b']:.3e}"),
     }
+    try:
+        extra = measure_extra(tokens=tokens // 2, log=log)
+        out["nll_delta_w8a8_kernel"] = round(
+            extra["nll_delta_w8a8_kernel"], 6)
+        out["nll_delta_fp8_transcode"] = round(
+            extra["nll_delta_fp8_transcode"], 6)
+    except Exception as e:  # pragma: no cover
+        log(f"extra NLL sections failed: {e!r}")
+    return out
 
 
 def bench_prefill(params, config, batch=4, s=2048):

@@ -114,3 +114,63 @@ def measure(preset=PRESET, tokens=TOKENS, batch=8, seq=512, log=print):
 
 if __name__ == "__main__":
     measure()
+
+
+def measure_extra(tokens=8_192, batch=8, seq=512, log=print):
+    """W8A8 fused-kernel delta and FP8->int8 transcode delta (config 3's
+    accuracy question on v5e): NLL vs the same checkpoint executed on the
+    XLA reference path."""
+    import functools
+
+    from compressed_tensors_tpu.flags import flag_overrides
+    from compressed_tensors_tpu.models.llama import llama_forward
+    from compressed_tensors_tpu.models.synthetic import (
+        TINYLLAMA_1_1B,
+        make_synthetic_llama,
+    )
+    from compressed_tensors_tpu.ops.fuse import fuse_llama_layers
+
+    config = TINYLLAMA_1_1B
+    n_batches = max(1, tokens // (batch * seq))
+    rng = np.random.default_rng(1)
+    corpus = rng.integers(0, config.vocab_size,
+                          size=(n_batches, batch, seq)).astype(np.int32)
+
+    @functools.partial(jax.jit, static_argnames=("tag",))
+    def nll_lp(params, ids, tag):
+        positions = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+        logits, _ = llama_forward(params, config, ids, positions)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        tgt = ids[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        return jnp.mean(nll)
+
+    def run(tag, build_flags, run_flags, use_kernels):
+        with flag_overrides(**build_flags):
+            params = make_synthetic_llama(
+                config, preset=tag.split("/")[0], seed=1,
+                use_kernels=use_kernels)
+            params = fuse_llama_layers(params)
+        tot = 0.0
+        for bi in range(n_batches):
+            with flag_overrides(**run_flags):
+                tot += float(nll_lp(params, jnp.asarray(corpus[bi]),
+                                    tag=tag))
+        return tot / n_batches
+
+    results = {}
+    # W8A8: fused in-kernel act-quant kernel vs the XLA int8 path (same
+    # quantization semantics; the delta is pure kernel numerics)
+    ref = run("W8A8/xla", {}, {"enforce_eager": True}, use_kernels=False)
+    got = run("W8A8/kernel", {}, {}, use_kernels=True)
+    results["nll_delta_w8a8_kernel"] = abs(got - ref)
+    log(f"  W8A8 kernel-vs-xla NLL delta: {abs(got - ref):.6f}")
+
+    # FP8: the v5e load-time int8 re-grid vs straight fp8 execution
+    ref = run("FP8_DYNAMIC/native", {"fp8_transcode": "never"},
+              {"enforce_eager": True}, use_kernels=False)
+    got = run("FP8_DYNAMIC/transcode", {"fp8_transcode": "always"}, {},
+              use_kernels=True)
+    results["nll_delta_fp8_transcode"] = abs(got - ref)
+    log(f"  FP8 transcode-vs-native NLL delta: {abs(got - ref):.6f}")
+    return results

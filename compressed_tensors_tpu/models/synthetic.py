@@ -114,10 +114,9 @@ def _synthetic_qt(rng: np.random.Generator, shape,
         import ml_dtypes
 
         wq = jnp.asarray(
-            (rng.standard_normal(shape, dtype=np.float32) * 100).astype(
-                ml_dtypes.float8_e4m3fn
-            )
-        )
+            np.clip(rng.standard_normal(shape, dtype=np.float32) * 100,
+                    -440, 440).astype(ml_dtypes.float8_e4m3fn)
+        )  # clip inside the e4m3fn range: overflow casts to NaN
         scale = jnp.asarray(
             rng.uniform(size=(*lead, n, 1)).astype(np.float32) * 2e-4 + 1e-4
         )
