@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ring_allgather_matmul", "matmul_reducescatter"]
+__all__ = ["ring_allgather_matmul", "matmul_reducescatter",
+           "ring_allgather_matmul_fn", "ring_allgather_matmul_quantized"]
 
 
 def ring_allgather_matmul(x_shard, w_local, axis_name: str = "tp"):
@@ -110,3 +111,68 @@ def matmul_reducescatter(x_full, w_kshard, axis_name: str = "tp"):
     acc = jnp.zeros((b, n_shard), jnp.float32)
     acc = jax.lax.fori_loop(0, tp, step, acc)
     return acc.astype(x_full.dtype)
+
+
+def ring_allgather_matmul_fn(x_shard, chunk_matmuls, axis_name: str = "tp"):
+    """Generalized ring: `chunk_matmuls[src](x_chunk) -> (B, N_local)`
+    computes the partial for the x shard owned by rank `src`. Lets the
+    chunk dot be a fused dequant-GEMM kernel — the north star's
+    "collectives overlap the dequant-GEMM compute" — while the ppermute
+    moves the next chunk."""
+    tp = jax.lax.axis_size(axis_name)
+    rank = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+
+    def step(i, carry):
+        chunk, acc = carry
+        src = (rank - i) % tp
+        acc = acc + jax.lax.switch(src, chunk_matmuls, chunk)
+        chunk = jax.lax.ppermute(chunk, axis_name, perm)
+        return chunk, acc
+
+    probe = jax.eval_shape(chunk_matmuls[0], x_shard)
+    acc0 = jnp.zeros(probe.shape, jnp.float32)
+    _, acc = jax.lax.fori_loop(0, tp, step, (x_shard, acc0))
+    return acc.astype(x_shard.dtype)
+
+
+def ring_allgather_matmul_quantized(x_shard, qt, tp: int,
+                                    axis_name: str = "tp"):
+    """Ring allgather-matmul whose chunk dots run the fused b8 W4A16
+    kernel on static K-slices of the N-sharded quantized weight.
+
+    `qt` is the LOCAL weight shard (prepare_for_kernels output, b8
+    layout, shape (N/tp, K)); K must split into tp slices each a
+    multiple of the kernel's K tile. Weights stay packed in HBM on every
+    device; each ring step dequantizes one K-slice inside the MXU
+    pipeline while the ppermute moves the next activation chunk.
+    """
+    from compressed_tensors_tpu.ops.kernels.w4a16_matmul import w4a16_matmul
+
+    kind, n, k, k_pad, group_size, tk = qt.kernel_meta
+    assert kind == "w4b8", kind
+    assert k == k_pad, "ring slicing requires unpadded K"
+    ks = k // tp
+    assert ks % tk == 0, (ks, tk)
+    rows_w = ks // 2          # byte rows per K-slice
+    rows_s = ks // group_size  # scale rows per K-slice
+
+    def chunk_fn(src):
+        if qt.kernel_packed.ndim == 3:
+            wp = qt.kernel_packed[:, src * rows_w:(src + 1) * rows_w, :]
+        else:
+            wp = qt.kernel_packed[src * rows_w:(src + 1) * rows_w, :]
+        sc = qt.kernel_scales[src * rows_s:(src + 1) * rows_s, :]
+        co = qt.kernel_zp[src * rows_s:(src + 1) * rows_s, :]
+
+        def f(x_chunk):
+            return w4a16_matmul(
+                x_chunk, wp, sc, co, n=qt.shape[0], k=ks,
+                group_size=group_size, tk=tk, out_dtype=jnp.float32,
+                mode="int4b",
+            )
+
+        return f
+
+    return ring_allgather_matmul_fn(
+        x_shard, [chunk_fn(s) for s in range(tp)], axis_name)
