@@ -244,3 +244,75 @@ def test_tp_forward_across_processes():
     )(x_sharded, qt_sharded)
     np.testing.assert_allclose(np.asarray(jax.device_get(y)), y_ref,
                                atol=2e-5, rtol=1e-5)
+
+
+@jaxrun(world_size=2, devices_per_proc=2)
+def test_llama_forward_tp_across_processes():
+    """Full run-compressed llama forward, tp=4-sharded over 2 processes x
+    2 devices, matches the single-host forward bit-for... to fused-kernel
+    tolerance (the BASELINE config-5 execution seam end to end)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from compressed_tensors_tpu.distributed.utils import broadcast_object
+    from compressed_tensors_tpu.models import (
+        llama_forward,
+        load_llama_params,
+    )
+    from compressed_tensors_tpu.parallel.mesh import (
+        make_mesh,
+        shard_llama_params,
+    )
+
+    rank = jax.process_index()
+    rng = np.random.default_rng(5)
+
+    if rank == 0:
+        import pathlib
+
+        sys.path.insert(0, str(Path(__file__).parent.parent))
+        from testing_utils import make_tiny_llama_checkpoint
+
+        qc = {"config_groups": {"group_0": {
+                "targets": ["Linear"],
+                "weights": {"num_bits": 4, "type": "int", "symmetric": True,
+                            "strategy": "group", "group_size": 32},
+              }},
+              "format": "pack-quantized",
+              "quantization_status": "compressed",
+              "quant_method": "compressed-tensors"}
+        tmp = tempfile.mkdtemp(prefix="ct_mp_llama_")
+        save_dir, _ = make_tiny_llama_checkpoint(
+            pathlib.Path(tmp), rng, qc)
+        save_dir = str(save_dir)
+    else:
+        save_dir = None
+    save_dir = broadcast_object(save_dir, source=0)
+
+    params, config, _ = load_llama_params(save_dir, run_compressed=True,
+                                          dtype=jnp.float32)
+    ids = jnp.asarray(
+        np.random.default_rng(6).integers(
+            0, config.vocab_size, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8), (2, 8))
+
+    # single-host reference on this process's local devices only
+    logits_ref, _ = jax.jit(
+        lambda p, i, pos: llama_forward(p, config, i, pos)
+    )(params, ids, positions)
+    ref = np.asarray(jax.device_get(logits_ref), np.float32)
+
+    # tp=4 over the global (2 proc x 2 dev) mesh
+    mesh = make_mesh(tp=4)
+    sharded = shard_llama_params(params, mesh)
+    logits, _ = jax.jit(
+        lambda p, i, pos: llama_forward(p, config, i, pos)
+    )(sharded, ids, positions)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gathered = jax.jit(lambda a: a,
+                       out_shardings=NamedSharding(mesh, P()))(logits)
+    got = np.asarray(jax.device_get(gathered), np.float32)
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=5e-3)
