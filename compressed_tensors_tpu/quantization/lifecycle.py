@@ -51,6 +51,7 @@ __all__ = [
     "initialize_module_for_quantization",
     "calibrate_module",
     "quantized_module_forward",
+    "quantized_embedding_forward",
     "compress_quantized_weights",
     "expected_qparam_shapes",
     "enable_quantization",
@@ -483,6 +484,32 @@ def quantized_module_forward(
         out = _forward_quantize(state, out, "output",
                                 scheme.output_activations)
     return out
+
+
+def quantized_embedding_forward(
+    indices: jnp.ndarray,
+    weight: jnp.ndarray,
+    state: ModuleQuantState,
+) -> jnp.ndarray:
+    """Embedding gather with weight QDQ applied per the module's scheme
+    (ref set_forward_quantized on torch.nn.Embedding,
+    forward.py:244-289 / tests/test_quantization/lifecycle/test_forward.py:53-107).
+
+    Embeddings carry only a weight scheme — input indices are integers and
+    the gathered rows are the output, so input/output activation args are
+    ignored (matching the reference, whose embedding forward consumes the
+    weight path only). The whole table is fake-quantized before the gather
+    so per-channel/per-group scales stay aligned with the embedding dim;
+    XLA fuses the QDQ into the gather producer.
+    """
+    scheme = state.scheme
+    enabled = state.enabled and scheme is not None and _QUANTIZATION_ENABLED
+
+    if enabled and scheme.weights is not None and \
+            state.status < QuantizationStatus.COMPRESSED:
+        weight = _forward_quantize(state, weight, "weight", scheme.weights)
+
+    return jnp.take(weight, indices, axis=0)
 
 
 def compress_quantized_weights(

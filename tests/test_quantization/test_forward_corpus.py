@@ -193,3 +193,106 @@ def test_quantization_enabled_disabled_context(layer):
         enable_quantization()
     np.testing.assert_allclose(plain_out, x @ w.T, rtol=1e-6)
     assert not np.allclose(plain_out, quant_out, atol=1e-4)
+
+
+# Embedding forwards (ref test_forward.py:53-107) ------------------------ #
+
+
+def _embed_forward(state, indices, table):
+    from compressed_tensors_tpu.quantization.lifecycle import (
+        quantized_embedding_forward,
+    )
+
+    return np.asarray(
+        quantized_embedding_forward(jnp.asarray(indices), jnp.asarray(table),
+                                    state), np.float32)
+
+
+def test_embedding_forward_no_quantization(rng):
+    """Without a scheme the quantized embedding forward is a plain gather
+    (ref test_set_forward_quantized_embedding_no_quantization :63)."""
+    table = rng.standard_normal((10, 4)).astype(np.float32)
+    state = ModuleQuantState(scheme=None)
+    idx = np.array([0, 1, 2, 3])
+    np.testing.assert_array_equal(_embed_forward(state, idx, table),
+                                  table[idx])
+
+
+def test_embedding_forward_with_weight_quantization(rng):
+    """Weight QDQ applies to the gathered rows
+    (ref test_set_forward_quantized_embedding_with_weight_quantization :79)."""
+    table = (rng.standard_normal((10, 4)) * 10).astype(np.float32)
+    scheme = QuantizationScheme(
+        targets=["Embedding"],
+        weights=QuantizationArgs(num_bits=8, symmetric=True,
+                                 strategy="tensor"),
+    )
+    state = _init(scheme, table, status=QuantizationStatus.CALIBRATION)
+    _calibrate(state, "weight", jnp.asarray(table))
+    idx = np.array([0, 1, 2, 3])
+    out = _embed_forward(state, idx, table)
+    assert out.shape == (4, 4)
+    # quantized rows differ from the raw table but stay close
+    assert not np.allclose(out, table[idx], atol=1e-5)
+    np.testing.assert_allclose(out, table[idx], atol=0.2)
+
+
+def test_embedding_forward_ignores_activation_args(rng):
+    """Input/output activation args on an embedding scheme are ignored —
+    indices are integers (matches the reference's weight-only embedding
+    path)."""
+    table = rng.standard_normal((6, 4)).astype(np.float32)
+    scheme = QuantizationScheme(
+        targets=["Embedding"],
+        input_activations=QuantizationArgs(num_bits=8, symmetric=True,
+                                           strategy="tensor", dynamic=True),
+        output_activations=QuantizationArgs(num_bits=8, symmetric=True,
+                                            strategy="tensor", dynamic=True),
+    )
+    state = ModuleQuantState(scheme=scheme)
+    idx = np.array([5, 0])
+    np.testing.assert_array_equal(_embed_forward(state, idx, table),
+                                  table[idx])
+
+
+def test_embedding_forward_compressed_status_skips_qdq(rng):
+    """COMPRESSED status skips weight QDQ in the embedding forward, same
+    as the linear forward (ref forward.py COMPRESSED gate)."""
+    table = (rng.standard_normal((10, 4)) * 10).astype(np.float32)
+    scheme = QuantizationScheme(
+        targets=["Embedding"],
+        weights=QuantizationArgs(num_bits=8, symmetric=True,
+                                 strategy="tensor"),
+    )
+    state = _init(scheme, table, status=QuantizationStatus.COMPRESSED)
+    _calibrate(state, "weight", jnp.asarray(table))
+    idx = np.array([1, 2])
+    np.testing.assert_array_equal(_embed_forward(state, idx, table),
+                                  table[idx])
+
+
+def test_embedding_forward_per_channel(rng):
+    """Per-channel weight scales (one per embedding row) QDQ before the
+    gather, matching fake_quantize on the full table."""
+    from compressed_tensors_tpu.ops.quantize import fake_quantize
+
+    table = (rng.standard_normal((8, 4)) * 5).astype(np.float32)
+    scheme = QuantizationScheme(
+        targets=["Embedding"],
+        weights=QuantizationArgs(num_bits=8, symmetric=True,
+                                 strategy="channel"),
+    )
+    state = _init(scheme, table, status=QuantizationStatus.CALIBRATION)
+    from compressed_tensors_tpu.ops import calculate_qparams
+
+    mn = jnp.min(jnp.asarray(table), axis=1, keepdims=True)
+    mx = jnp.max(jnp.asarray(table), axis=1, keepdims=True)
+    scale, zp = calculate_qparams(mn, mx, scheme.weights)
+    state.qparams["weight_scale"] = scale
+    state.qparams["weight_zero_point"] = zp
+
+    idx = np.array([3, 7])
+    out = _embed_forward(state, idx, table)
+    expect = np.asarray(fake_quantize(jnp.asarray(table), scale, zp,
+                                      scheme.weights))[idx]
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
