@@ -87,7 +87,9 @@ for S in (512, 1024, 2048):
     ttft = time.perf_counter() - t0
 
     gemm_floor = 2 * B * S * body_params / PEAK_BF16
-    attn_flops = B * NH * S * S * D * 2 * 2  # score + pv dots
+    # score + pv dots, causal, whole L-layer chain (was per-layer — the
+    # printed "% of score floor" under-read by a factor of L)
+    attn_flops = B * NH * S * S * D * 2 * 2 * 0.5 * L
     attn_floor = attn_flops / PEAK_BF16
     floor = gemm_floor + attn_floor
     print(f"S={S:5d} B={B}: prefill {dt*1e3:7.2f} ms marginal "
