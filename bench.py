@@ -166,7 +166,7 @@ def measure_gemm_chain_ms(params, config, batch):
     def t(n):
         float(loop(layers, lm_head, jnp.int32(n)))
         best = 1e9
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(loop(layers, lm_head, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
@@ -379,7 +379,7 @@ def measure_8b_decode(params, config, cache_dtype, batch=64):
     def t(n):
         int(run(params, ids, jnp.int32(n)))
         best = 1e9
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             int(run(params, ids, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
