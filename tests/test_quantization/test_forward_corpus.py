@@ -296,3 +296,46 @@ def test_embedding_forward_per_channel(rng):
     expect = np.asarray(fake_quantize(jnp.asarray(table), scale, zp,
                                       scheme.weights))[idx]
     np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+def test_embedding_through_apply_pipeline(rng):
+    """Full seam: a config targeting Embedding applies, initializes
+    per-channel qparams at the table's shape, and the quantized embedding
+    forward consumes them (ref apply+initialize+set_forward_quantized on
+    torch.nn.Embedding)."""
+    from compressed_tensors_tpu.quantization import QuantizationConfig
+    from compressed_tensors_tpu.quantization.lifecycle import (
+        apply_quantization_config,
+    )
+    from compressed_tensors_tpu.utils.match import ModuleInfo
+
+    cfg = QuantizationConfig.model_validate({
+        "config_groups": {"group_0": {
+            "targets": ["Embedding"],
+            "weights": {"num_bits": 8, "type": "int", "symmetric": True,
+                        "strategy": "channel"}}},
+        "quant_method": "compressed-tensors",
+        "quantization_status": "calibration"})
+    mods = {"model.embed_tokens": ModuleInfo(type_name="Embedding"),
+            "model.layers.0.mlp.up_proj": ModuleInfo(type_name="Linear")}
+    shapes = {"model.embed_tokens": (50, 8),
+              "model.layers.0.mlp.up_proj": (8, 8)}
+    states = apply_quantization_config(mods, shapes, cfg)
+    # only the embedding matched the Embedding target
+    assert sorted(states) == ["model.embed_tokens"]
+    state = states["model.embed_tokens"]
+    assert state.qparams["weight_scale"].shape == (50, 1)
+
+    table = (rng.standard_normal((50, 8)) * 4).astype(np.float32)
+    from compressed_tensors_tpu.ops import calculate_qparams
+
+    mn = jnp.min(jnp.asarray(table), axis=1, keepdims=True)
+    mx = jnp.max(jnp.asarray(table), axis=1, keepdims=True)
+    scale, zp = calculate_qparams(mn, mx, state.scheme.weights)
+    state.qparams["weight_scale"] = scale
+    state.qparams["weight_zero_point"] = zp
+
+    idx = np.array([0, 7, 49])
+    out = _embed_forward(state, idx, table)
+    assert out.shape == (3, 8)
+    np.testing.assert_allclose(out, table[idx], atol=0.1)
